@@ -1,0 +1,135 @@
+"""Normalization kernel tests — semantics pinned to the reference code."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from housenumbercore_spark.norm import housenumbers as HN
+from housenumbercore_spark.norm import names as NM
+
+
+def _vals(spark, col, data):
+    df = spark.createDataFrame([(d,) for d in data], "v string")
+    return [r.o for r in df.select(col.alias("o")).collect()]
+
+
+def _vals2(spark, colf, data):
+    df = spark.createDataFrame(data, "v string, cc string")
+    return [r.o for r in df.select(colf(F.col("v"), F.col("cc")).alias("o")).collect()]
+
+
+class TestSortable:
+    # Address.java:337-360 examples from the inline comment
+    def test_examples(self, spark):
+        got = _vals(
+            spark,
+            HN.housenumber_sortable("v"),
+            ["1", "47 1/2", "11 1/128b", "13a", "12345", "a"],
+        )
+        assert got == ["0001", "0047 1/2", "0011 1/128b", "0013a", "12345", "0000a"]
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        data = ["1", "47 1/2", "11 1/128b", "13a", "12345", "a", ""]
+        got = _vals(spark, HN.housenumber_sortable("v"), data)
+        con = duckdb.connect()
+        con.register("t", __import__("pandas").DataFrame({"v": data}))
+        want = [
+            r[0]
+            for r in con.execute(
+                f"select {HN.housenumber_sortable_sql('v')} from t"
+            ).fetchall()
+        ]
+        assert got == want
+
+
+class TestSplitExpand:
+    def test_split_multi(self, spark):
+        got = _vals(spark, HN.split_multi("v"), ["1,3;5", "7", " 2 ; 4 "])
+        assert got == [["1", "3", "5"], ["7"], ["2", "4"]]
+
+    def test_expand_range(self, spark):
+        got = _vals(
+            spark,
+            HN.expand_range("v"),
+            ["2-8", "1-5", "8-2", "2-8a", "13a", "3", "1-2-3"],
+        )
+        assert got == [
+            ["2", "4", "6", "8"],
+            ["1", "3", "5"],
+            [],  # end <= start → empty (row dropped), TheoreticalHousenumbers.java:303
+            [],  # parse failure → empty, :307-311
+            ["13a"],
+            ["3"],
+            [],  # two dashes → substring_index parse differs; reference would NumberFormatException → empty
+        ]
+
+    def test_explode_pipeline(self, spark):
+        df = spark.createDataFrame(
+            [(1, "1,3"), (2, "2-6"), (3, "9-5"), (4, "7b")], "id int, housenumber string"
+        )
+        out = HN.explode_housenumbers(df).orderBy("id", "housenumber")
+        rows = [(r.id, r.housenumber) for r in out.collect()]
+        assert rows == [(1, "1"), (1, "3"), (2, "2"), (2, "4"), (2, "6"), (4, "7b")]
+
+
+class TestNames:
+    def test_correctorder(self, spark):
+        got = _vals(spark, NM.correctorder("v"), ["Große Straße", "ÄÖÜ", "Câmp"])
+        assert got == ["grosse strasse", "aeoeue", "camp"]
+
+    def test_correctorder_sql_twin(self, spark):
+        import duckdb
+
+        data = ["Große Straße", "ÄÖÜ", "Câmp", "Mühlenweg"]
+        got = _vals(spark, NM.correctorder("v"), data)
+        con = duckdb.connect()
+        con.register("t", __import__("pandas").DataFrame({"v": data}))
+        want = [
+            r[0]
+            for r in con.execute(f"select {NM.correctorder_sql('v')} from t").fetchall()
+        ]
+        assert got == want
+
+    def test_normalize_street_name_ro(self, spark):
+        got = _vals2(
+            spark,
+            NM.normalize_street_name,
+            [("Strada Mihai", "RO"), ("Strada Mihai", "DE"), ("Calea X", "RO")],
+        )
+        assert got == ["Mihai", "Strada Mihai", "Calea X"]
+
+    def test_title_case(self, spark):
+        got = _vals(
+            spark,
+            NM.title_case_street("v"),
+            ["VIA DELLA ROSA", "HAUPTSTRASSE", "Schon Richtig", "VIA II GIUGNO"],
+        )
+        assert got == ["Via della Rosa", "Hauptstrasse", "Schon Richtig", "Via II Giugno"]
+
+    def test_ags(self, spark):
+        got = _vals(spark, NM.normalize_ags("v"), ["03 1 52 012", "0315", "05334002"])
+        assert got == ["03152012", "03150000", "05334002"]
+        variants = _vals(spark, NM.ags_lookup_variants("v"), ["03152012"])[0]
+        assert "03152012" in variants and "03 1 52 012" in variants
+
+    def test_boundary_name_variants(self, spark):
+        v = _vals(spark, NM.boundary_name_variants("v"), ["Rothenburg ob der Tauber"])[0]
+        assert "Rothenburg" in v
+        v2 = _vals(spark, NM.boundary_name_variants("v"), ["Aachen, Stadt"])[0]
+        assert "Aachen" in v2
+
+    def test_hstore_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [('"name"=>"Aachen", "boundary"=>"administrative"',)], "v string"
+        )
+        m = df.select(NM.hstore_to_map("v").alias("m")).collect()[0].m
+        assert m == {"name": "Aachen", "boundary": "administrative"}
+        back = (
+            df.select(NM.map_to_hstore(NM.hstore_to_map("v")).alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert '"name"=>"Aachen"' in back
