@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` pair every implemented operator with a
+DuckDB-checkable ANSI-SQL oracle over the pre-registered testdata views.
+The synthetic geo world (points from ``orders``, admin areas from
+``nation``/``region``) is derived with identical deterministic arithmetic on
+both engines — see housenumbercore_spark/sources/synthetic.py — so the
+spatial operators are value-checked end to end, not just row-counted.
 """
 
 from __future__ import annotations
@@ -12,27 +14,97 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+TILE_RES = 13
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every synthetic point its covering admin areas (cell join +
+    exact refine) and count points per area — the reference's per-
+    municipality evaluation (TheoreticalHousenumbers.java:874-1414) as one
+    set-based plan."""
+    from housenumbercore_spark.operators import pip_join as PJ
+    from housenumbercore_spark.sources import synthetic as S
+
+    pts = S.points_df(spark, sf_dir)
+    areas = S.areas_df(spark, sf_dir)
+    assigned = PJ.assign_points_to_areas(spark, pts, areas)
+    dim = areas.select("area_id", "name", "admin_level")
+    return (
+        assigned.groupBy("area_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .join(F.broadcast(dim), "area_id")
+        .select("area_id", "name", "admin_level", "n_points")
+        .orderBy("area_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, SF0001)
+
+
+def _q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flagship(spark, sf_dir)
+
+
+def _q_pip_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from housenumbercore_spark.operators import pip_join as PJ
+    from housenumbercore_spark.sources import synthetic as S
+
+    pts = S.points_df(spark, sf_dir)
+    areas = S.areas_df(spark, sf_dir)
+    assigned = PJ.assign_points_to_areas(spark, pts, areas)
+    dim = areas.select("area_id", "admin_level")
+    return assigned.join(F.broadcast(dim), "area_id").select(
+        "point_id", "area_id", "admin_level"
+    )
+
+
+def _q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from housenumbercore_spark.operators import pip_join as PJ
+    from housenumbercore_spark.sources import synthetic as S
+
+    pts = S.points_df(spark, sf_dir)
+    return (
+        PJ.tile_assign(pts, TILE_RES)
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pip_count_per_area": _q_pip_count,
+        "pip_assignments": _q_pip_assignments,
+        "tile_counts": _q_tile_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from housenumbercore_spark.geo.cells import cell_sql
+    from housenumbercore_spark.sources.synthetic import areas_sql, points_sql
+
+    pts = points_sql()
+    areas = areas_sql()
+    rect_join = (
+        f"FROM {pts} p JOIN {areas} a ON p.lon >= a.xmin AND p.lon <= a.xmax "
+        f"AND p.lat >= a.ymin AND p.lat <= a.ymax"
+    )
+    return {
+        "pip_count_per_area": (
+            "SELECT a.area_id, a.name, a.admin_level, "
+            f"COUNT(*) AS n_points {rect_join} "
+            "GROUP BY a.area_id, a.name, a.admin_level"
+        ),
+        "pip_assignments": (
+            f"SELECT p.point_id, a.area_id, a.admin_level {rect_join}"
+        ),
+        "tile_counts": (
+            f"SELECT {cell_sql('lon', 'lat', TILE_RES)} AS tile_id, "
+            f"COUNT(*) AS n_points FROM {pts} p GROUP BY 1"
+        ),
+    }

@@ -1,0 +1,75 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "throughput_rows_per_sec": ..., "rows": {...}}
+
+The flagship metric (BASELINE.json) is spatial-join + tile-assignment
+throughput in rows/sec; "value" stays the total wall seconds per the driver
+contract, with throughput carried in an extra key. Run
+``python BENCH/scaling.py`` for the two-parallelism-level scaling-efficiency
+evidence (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def run_bench(sf_dir: str, cpus: str) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from housenumbercore_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{cpus}", cores=None)
+    try:
+        # warm the JVM + parquet footers once (not timed)
+        spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+        queries = entrymod.queries()
+        timings: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for name, q in queries.items():
+            df = q(spark, sf_dir)
+            t0 = time.perf_counter()
+            try:
+                df.write.format("noop").mode("overwrite").save()
+                n = -1
+            except Exception:
+                n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            rows[name] = n
+
+        # flagship throughput: points processed / sec through the full
+        # assign(point→areas) pipeline
+        n_points = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        t_flag = timings.get("pip_assignments") or next(iter(timings.values()))
+        thr = n_points / t_flag if t_flag > 0 else 0.0
+        m = re.search(r"sf([\d.]+)", sf_dir)
+        return {
+            "metric": "spatial-join+tile-assignment",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(m.group(1)) if m else None,
+            "throughput_rows_per_sec": round(thr, 1),
+            "n_points": n_points,
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+    sys.stdout.flush()

@@ -1,0 +1,136 @@
+"""Point-in-polygon cell join: correctness vs brute-force oracle on sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from housenumbercore_spark.geo import geometry as G
+from housenumbercore_spark.operators import pip_join as PJ
+from housenumbercore_spark.sources import synthetic as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    pts = S.points_df(spark, SF).cache()
+    areas = S.areas_df(spark, SF).cache()
+    return pts, areas
+
+
+def test_points_deterministic_and_skewed(spark, world):
+    pts, _ = world
+    pdf = pts.toPandas()
+    assert pdf.point_id.is_unique
+    assert ((pdf.lon >= S.LON0) & (pdf.lon <= S.LON0 + S.LON_SPAN)).all()
+    frac_hot = pdf.hot.mean()
+    assert 0.2 < frac_hot < 0.4  # ~30% skew
+
+
+def test_cover_cells_superset(spark, world):
+    pts, areas = world
+    res = PJ.pick_join_res(areas)
+    cover = PJ.cover_cells(areas, res).toPandas()
+    # every area has at least one cover cell; municipalities don't explode
+    assert set(cover.area_id) == set(areas.toPandas().area_id)
+    per_area = cover.groupby("area_id").size()
+    assert per_area.max() <= 2000
+
+
+def test_assign_matches_bruteforce(spark, world):
+    pts, areas = world
+    got = (
+        PJ.assign_points_to_areas(spark, pts, areas)
+        .select("point_id", "area_id")
+        .toPandas()
+        .sort_values(["point_id", "area_id"])
+        .reset_index(drop=True)
+    )
+    # brute-force oracle: rectangle arithmetic on pandas
+    p = pts.toPandas()
+    a = areas.toPandas()
+    rows = []
+    for _, ar in a.iterrows():
+        m = (
+            (p.lon >= ar.xmin)
+            & (p.lon <= ar.xmax)
+            & (p.lat >= ar.ymin)
+            & (p.lat <= ar.ymax)
+        )
+        for pid in p.point_id[m]:
+            rows.append((pid, ar.area_id))
+    import pandas as pd
+
+    want = (
+        pd.DataFrame(rows, columns=["point_id", "area_id"])
+        .sort_values(["point_id", "area_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.point_id.values == want.point_id.values).all()
+    assert (got.area_id.values == want.area_id.values).all()
+
+
+def test_every_point_gets_two_levels(spark, world):
+    pts, areas = world
+    out = PJ.assign_points_to_areas(spark, pts, areas)
+    counts = out.groupBy("point_id").count().toPandas()
+    # every point lies in exactly one level-8 and one level-6 area
+    assert (counts["count"] == 2).all()
+    assert len(counts) == pts.count()
+
+
+def test_nonrectangular_polygon_refine(spark):
+    # triangle + square with hole: refine must beat the bbox cover
+    tri = G.polygon_wkb([np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [0.0, 0.0]])])
+    sq_hole = G.polygon_wkb(
+        [
+            np.array([[20.0, 20.0], [30.0, 20.0], [30.0, 30.0], [20.0, 30.0], [20.0, 20.0]]),
+            np.array([[22.0, 22.0], [28.0, 22.0], [28.0, 28.0], [22.0, 28.0], [22.0, 22.0]]),
+        ]
+    )
+    areas = spark.createDataFrame(
+        [(1, bytearray(tri), 0.0, 0.0, 10.0, 10.0), (2, bytearray(sq_hole), 20.0, 20.0, 30.0, 30.0)],
+        "area_id long, polygon binary, xmin double, ymin double, xmax double, ymax double",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 1.0, 1.0),    # in triangle
+            (2, 9.0, 9.0),    # in tri bbox but outside hypotenuse
+            (3, 21.0, 21.0),  # in square shell
+            (4, 25.0, 25.0),  # in hole
+            (5, 50.0, 50.0),  # nowhere
+        ],
+        "point_id long, lon double, lat double",
+    )
+    got = (
+        PJ.assign_points_to_areas(spark, pts, areas, res=6)
+        .select("point_id", "area_id")
+        .toPandas()
+        .sort_values("point_id")
+    )
+    assert list(map(tuple, got.values)) == [(1, 1), (3, 2)]
+
+
+def test_salted_join_same_result(spark, world):
+    pts, areas = world
+    res = PJ.pick_join_res(areas)
+    dim = PJ.cover_cells(areas, res)
+    from housenumbercore_spark.geo import cells as C
+
+    p2 = pts.withColumn("__cell", C.cell_col("lon", "lat", res))
+    salted = PJ.salted_cell_join(p2, dim, n_salt=4).select("point_id", "area_id")
+    plain = p2.join(dim, p2["__cell"] == dim["cell"]).select("point_id", "area_id")
+    a = salted.toPandas().sort_values(["point_id", "area_id"]).reset_index(drop=True)
+    b = plain.toPandas().sort_values(["point_id", "area_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_tile_assign_pure_codegen(spark, world):
+    pts, _ = world
+    out = PJ.tile_assign(pts, 13)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # no UDF on the tile path
+    assert out.select(F.countDistinct("tile_id")).collect()[0][0] > 10
