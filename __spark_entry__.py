@@ -76,11 +76,39 @@ def _q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_IMAGES = 2000
+
+
+def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image+caption payload through the spatial join with the per-row
+    PSNR/caption invariant gate (north rule). Not SQL-expressible (binary
+    codecs) → rows-only driver check; exact gates live in tests/test_images.py.
+    """
+    from housenumbercore_spark.images import udfs as IU
+    from housenumbercore_spark.operators import pip_join as PJ
+    from housenumbercore_spark.sources import images as IMG
+    from housenumbercore_spark.sources import synthetic as S
+
+    imgs = IMG.images_df(spark, N_IMAGES)
+    areas = S.areas_df(spark, sf_dir)
+    assigned = PJ.assign_points_to_areas(spark, imgs, areas)
+    return IU.invariant_summary(IU.check_invariants(assigned, imgs))
+
+
+def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from housenumbercore_spark.images import udfs as IU
+    from housenumbercore_spark.sources import images as IMG
+
+    return IU.decode_stats(IMG.images_df(spark, N_IMAGES))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count_per_area": _q_pip_count,
         "pip_assignments": _q_pip_assignments,
         "tile_counts": _q_tile_counts,
+        "image_invariants": _q_image_invariants,
+        "image_decode_stats": _q_image_stats,
     }
 
 

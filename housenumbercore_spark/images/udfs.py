@@ -1,0 +1,132 @@
+"""Spark-side image invariant verification (Arrow-batched, no per-row Python).
+
+North-rule invariant (BASELINE.json input_hint): every image row that flows
+through the engine must preserve decoded-pixel fidelity (exact for lossless,
+PSNR ≥ 40 dB for lossy) and byte-equal captions vs the source table.
+
+``check_invariants`` joins pipeline output back to the source on image_id
+and decodes BOTH payloads inside one ``mapInPandas`` — catching any
+corruption introduced by shuffles, codec round-trips, or column handling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import codec
+
+PSNR_MIN_DB = 40.0
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("psnr_db", T.DoubleType(), False),
+        T.StructField("pixels_ok", T.BooleanType(), False),
+        T.StructField("caption_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def check_invariants(
+    out_df: DataFrame,
+    src_df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """→ (image_id, psnr_db, pixels_ok, caption_ok), one row per output row.
+
+    psnr_db is +inf (encoded as 999.0) when decoded pixels are identical.
+    """
+    o = out_df.select(
+        F.col(id_col).alias("image_id"),
+        F.col(bytes_col).alias("__ob"),
+        F.col(caption_col).alias("__oc"),
+    )
+    s = src_df.select(
+        F.col(id_col).alias("image_id"),
+        F.col(bytes_col).alias("__sb"),
+        F.col(caption_col).alias("__sc"),
+    )
+    joined = o.join(s, "image_id", "inner")
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            psnr_v = np.zeros(n)
+            pix_ok = np.zeros(n, dtype=bool)
+            cap_ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                try:
+                    a = codec.decode_image(bytes(pdf["__ob"].iat[i]))
+                    b = codec.decode_image(bytes(pdf["__sb"].iat[i]))
+                    p = codec.psnr(a, b)
+                except Exception:
+                    p = 0.0
+                psnr_v[i] = min(p, 999.0)
+                pix_ok[i] = p >= PSNR_MIN_DB
+                cap_ok[i] = pdf["__oc"].iat[i] == pdf["__sc"].iat[i]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "psnr_db": psnr_v,
+                    "pixels_ok": pix_ok,
+                    "caption_ok": cap_ok,
+                }
+            )
+
+    return joined.mapInPandas(gen, _SCHEMA)
+
+
+def invariant_summary(check_df: DataFrame) -> DataFrame:
+    """Aggregate gate: (n_rows, n_pixel_violations, n_caption_violations,
+    min_psnr_db)."""
+    return check_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixel_violations"),
+        F.sum(F.when(~F.col("caption_ok"), 1).otherwise(0)).alias(
+            "n_caption_violations"
+        ),
+        F.min("psnr_db").alias("min_psnr_db"),
+    )
+
+
+def decode_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Decode payloads and emit per-row pixel stats — the 'feature extract'
+    stage of a multimodal training pipeline (mean/std per channel + recomputed
+    phash). Arrow-batched; the pattern to extend with real feature models."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+            T.StructField("mean_g", T.DoubleType(), False),
+            T.StructField("mean_b", T.DoubleType(), False),
+            T.StructField("std_gray", T.DoubleType(), False),
+            T.StructField("phash_recomputed", T.LongType(), False),
+        ]
+    )
+    src = df.select("image_id", F.col(bytes_col).alias("__b"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf in zip(pdf["image_id"], pdf["__b"]):
+                px = codec.decode_image(bytes(buf)).astype(np.float64)
+                gray = px @ np.array([0.299, 0.587, 0.114])
+                rows.append(
+                    (
+                        iid,
+                        float(px[..., 0].mean()),
+                        float(px[..., 1].mean()),
+                        float(px[..., 2].mean()),
+                        float(gray.std()),
+                        codec.phash64(px.astype(np.uint8)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return src.mapInPandas(gen, schema)

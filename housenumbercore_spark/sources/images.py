@@ -1,0 +1,90 @@
+"""Deterministic synthetic image+caption table (BASELINE.json input_hint shape).
+
+Schema: (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash int64 [, lon double, lat double]).
+
+Generation is fully distributed (``spark.range`` → ``mapInPandas``) and
+deterministic per image_id — no driver-side loops, no external data. Pixel
+content is a structured pattern (two sinusoidal gratings + gradient) keyed by
+the id, so phash varies smoothly and collisions are rare. lon/lat derive from
+the integer id with the same hot-cluster skew as the synthetic points
+(sources/synthetic.py), so the image table exercises the identical
+spatial-join path at the 10¹²-row target shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..images import codec
+from . import synthetic as S
+
+IMG_W = 16
+IMG_H = 16
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+    ]
+)
+
+
+def make_pixels(i: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pattern for integer id ``i``."""
+    y, x = np.mgrid[0:IMG_H, 0:IMG_W].astype(np.float64)
+    fx = 0.3 + (i % 7) * 0.13
+    fy = 0.2 + (i % 11) * 0.09
+    phase = (i % 97) * 0.21
+    r = 127.5 + 127.5 * np.sin(fx * x + phase)
+    g = 127.5 + 127.5 * np.cos(fy * y - phase)
+    b = (x * 255 / max(IMG_W - 1, 1) + i % 29) % 256
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def make_caption(i: int) -> str:
+    subjects = ["house", "street", "square", "bridge", "tower", "garden"]
+    towns = ["Aachen", "Eschweiler", "Stolberg", "Alsdorf", "Herzogenrath"]
+    return (
+        f"photo {i:08d}: a {subjects[i % len(subjects)]} in "
+        f"{towns[i % len(towns)]} with housenumber {1 + i % 180}"
+    )
+
+
+def _row_for(i: int) -> tuple:
+    px = make_pixels(i)
+    fmt = "png" if i % 2 == 0 else "jpgq"
+    buf = codec.encode_image(px, fmt)
+    decoded = codec.decode_image(buf)
+    ph = codec.phash64(decoded)
+    # lon/lat: same deterministic mixing + hot cluster as synthetic points
+    u = ((i * S._MIX_A) % S._MOD + 0.5) / S._MOD
+    v = ((i * S._MIX_B) % S._MOD + 0.5) / S._MOD
+    if i % 10 < 3:
+        lon = u * S.HOT_SPAN + S.HOT_LON0
+        lat = v * S.HOT_SPAN + S.HOT_LAT0
+    else:
+        lon = u * S.LON_SPAN + S.LON0
+        lat = v * S.LAT_SPAN + S.LAT0
+    return (f"img{i:010d}", buf, IMG_W, IMG_H, fmt, make_caption(i), ph, lon, lat)
+
+
+def images_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Distributed deterministic image table of ``n`` rows."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_row_for(int(i)) for i in pdf["id"].values]
+            yield pd.DataFrame(rows, columns=[f.name for f in SCHEMA.fields])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, SCHEMA)
