@@ -103,12 +103,22 @@ def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from housenumbercore_spark import pipelines as P
+
     return {
         "pip_count_per_area": _q_pip_count,
         "pip_assignments": _q_pip_assignments,
         "tile_counts": _q_tile_counts,
         "image_invariants": _q_image_invariants,
         "image_decode_stats": _q_image_stats,
+        "official_dedup": lambda s, d: P.official_normalized(s, d).select(
+            "job_id", "street", "hnr_key", "source_id"
+        ),
+        "best_osm_object": lambda s, d: P.osm_best_objects(s, d).select(
+            "job_id", "street", "hnr_key", "osm_id", "prio"
+        ),
+        "match_evaluation": P.evaluation_matched,
+        "evaluation_counters": P.evaluation_counters,
     }
 
 
@@ -122,7 +132,13 @@ def oracle_sql() -> dict[str, str]:
         f"FROM {pts} p JOIN {areas} a ON p.lon >= a.xmin AND p.lon <= a.xmax "
         f"AND p.lat >= a.ymin AND p.lat <= a.ymax"
     )
+    from housenumbercore_spark import oracles as O
+
     return {
+        "official_dedup": O.official_dedup_sql(),
+        "best_osm_object": O.best_osm_sql(),
+        "match_evaluation": O.matched_sql(),
+        "evaluation_counters": O.counters_sql(),
         "pip_count_per_area": (
             "SELECT a.area_id, a.name, a.admin_level, "
             f"COUNT(*) AS n_points {rect_join} "

@@ -1,0 +1,69 @@
+"""End-to-end pipelines composing sources + operators.
+
+These are the engine's equivalents of the reference's hard-coded Java main()
+pipelines (SURVEY.md §3): each returns a DataFrame so callers (driver
+contract, bench, tests) choose the action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .operators import match_eval as ME
+from .sources import addresses as A
+
+
+def official_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Official list keyed + first-wins deduped (HousenumberList.
+    addHousenumber:161-173 keeps the FIRST occurrence; determinised here as
+    min source_id)."""
+    flags = F.broadcast(A.job_flags_df(spark))
+    off = A.official_df(spark, sf_dir).join(flags, "job_id")
+    off = off.withColumn("hnr_key", ME.match_key("housenumber", "exact"))
+    w = W.partitionBy("job_id", "street", "hnr_key").orderBy("source_id")
+    return (
+        off.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "exact")
+    )
+
+
+def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM side: tags → priority (through the MapType/hstore path, P1/P2) →
+    best object per housenumber identity (W1)."""
+    flags = F.broadcast(A.job_flags_df(spark))
+    osm = A.osm_df(spark, sf_dir).join(flags, "job_id")
+    # assemble the flat columns into an hstore-like MapType and derive the
+    # priority from the map — the engine path the reference exercises via
+    # planet_*.tags (TheoreticalHousenumbers.java:876-883)
+    tags = F.map_filter(
+        F.map_from_arrays(
+            F.array(F.lit("building"), F.lit("entrance"), F.lit("amenity")),
+            F.array(F.col("building"), F.col("entrance"), F.col("amenity")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    osm = osm.withColumn("tags", tags).withColumn(
+        "prio", ME.osm_tag_priority("tags")
+    )
+    osm = osm.withColumn("hnr_key", ME.match_key("housenumber", "exact")).drop("exact")
+    return ME.best_osm_object(osm)
+
+
+def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The match evaluation (J5/J6): one row per housenumber identity."""
+    off = official_normalized(spark, sf_dir).select(
+        "job_id", "street", "hnr_key", "source_id"
+    )
+    osm = osm_best_objects(spark, sf_dir).select(
+        "job_id", "street", "hnr_key", "osm_id", "prio"
+    )
+    return ME.match_evaluation(off, osm).select(
+        "job_id", "street", "hnr_key", "treffertyp", "source_id", "osm_id", "prio"
+    )
+
+
+def evaluation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ME.evaluation_counters(evaluation_matched(spark, sf_dir))
