@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "match_evaluation": P.evaluation_matched,
         "evaluation_counters": P.evaluation_counters,
+        "street_catalog": P.street_catalog,
+        "street_merged_geometries": P.street_merged_geometries,  # engine-only
+        "knn_nearest_street": lambda s, d: P.knn_nearest_street(s, d, k=1),
+        "knn_nearest_street_k3": lambda s, d: P.knn_nearest_street(s, d, k=3),
     }
 
 
@@ -135,6 +139,9 @@ def oracle_sql() -> dict[str, str]:
     from housenumbercore_spark import oracles as O
 
     return {
+        "street_catalog": O.street_catalog_sql(),
+        "knn_nearest_street": O.knn_nearest_street_sql(1),
+        "knn_nearest_street_k3": O.knn_nearest_street_sql(3),
         "official_dedup": O.official_dedup_sql(),
         "best_osm_object": O.best_osm_sql(),
         "match_evaluation": O.matched_sql(),

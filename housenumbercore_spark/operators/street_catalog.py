@@ -1,0 +1,189 @@
+"""Street catalog pipeline: street-in-polygon join + name grouping + merge.
+
+Reference parity (§3.2 of SURVEY.md — MunicipalityJobs.main):
+
+- J1  street-in-polygon: `ST_Contains(poly, way) OR ST_Crosses(poly, way)`
+      per municipality (/root/reference/src/de/regioosm/housenumbercore/
+      MunicipalityJobs.java:282-304) → cell cover equi-join + exact
+      line-vs-polygon refine.
+- P4  highway whitelist (util/OSMStreet.java:89-101).
+- P5  blacklist anti-join (MunicipalityJobs.java:209-251, 328-333).
+- A1  group segments by (municipality, street name)
+      (MunicipalityJobs.java:324-368).
+- A2  merge segment geometries per street — from-scratch linemerge replaces
+      the per-segment ST_LineMerge round-trips (util/OSMStreet.java:139-190).
+- J7/U1 official-street augmentation: official streets absent from OSM get
+      null-geometry rows (MunicipalityJobs.java:821-931).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import cells as C
+from ..geo import geometry as G
+from ..sources.streets import HIGHWAY_WHITELIST
+from .pip_join import cover_cells, pick_join_res
+
+
+def line_cover_cells(
+    lines: DataFrame, res: int, id_col: str = "osm_id",
+    x0: str = "x0", y0: str = "y0", x1: str = "x1", y1: str = "y1",
+) -> DataFrame:
+    """(osm_id, cell) bbox-cover of each segment — superset, exact refine
+    later. Pure column arithmetic would need a fixed cell count per row;
+    segments are dimension-scale here, so a pandas generator is fine."""
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType(), False),
+            T.StructField(id_col, lines.schema[id_col].dataType, False),
+        ]
+    )
+    sel = lines.select(id_col, x0, y0, x1, y1)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, cs = [], []
+            for oid, a, b, c, d in pdf.itertuples(index=False):
+                cover = C.cover_bbox(min(a, c), min(b, d), max(a, c), max(b, d), res)
+                cs.append(cover)
+                ids.append(np.full(len(cover), oid))
+            if ids:
+                yield pd.DataFrame(
+                    {"cell": np.concatenate(cs), id_col: np.concatenate(ids)}
+                )
+
+    return sel.mapInPandas(gen, schema)
+
+
+def streets_in_areas(
+    spark: SparkSession,
+    streets: DataFrame,
+    areas: DataFrame,
+    res: int | None = None,
+) -> DataFrame:
+    """J1: (street columns..., area_id) for every segment intersecting the
+    area polygon (Contains ∪ Crosses ≡ shares any point, geometry.py)."""
+    if res is None:
+        res = pick_join_res(areas)
+    area_dim = cover_cells(areas, res)
+    line_dim = line_cover_cells(streets, res)
+    pairs = (
+        line_dim.join(F.broadcast(area_dim), "cell")
+        .select("osm_id", "area_id")
+        .dropDuplicates(["osm_id", "area_id"])
+    )
+    cand = streets.join(pairs, "osm_id")
+    polygons = {r[0]: bytes(r[1]) for r in areas.select("area_id", "polygon").collect()}
+    bc = spark.sparkContext.broadcast(polygons)
+    schema = cand.schema
+
+    def gen(batches):
+        parsed: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                d = row._asdict()
+                poly = parsed.get(d["area_id"])
+                if poly is None:
+                    poly = parsed[d["area_id"]] = G.parse_wkb(bc.value[d["area_id"]])
+                line = np.array([[d["x0"], d["y0"]], [d["x1"], d["y1"]]])
+                keep[i] = G.line_intersects_polygon(poly, line)
+            yield pdf[keep]
+
+    return cand.mapInPandas(gen, schema)
+
+
+def apply_whitelist(streets: DataFrame, highway_col: str = "highway") -> DataFrame:
+    """P4 (OSMStreet.java:89-101)."""
+    return streets.filter(F.col(highway_col).isin(HIGHWAY_WHITELIST))
+
+
+def apply_blacklist(streets: DataFrame, blacklist: DataFrame, on: str = "osm_id") -> DataFrame:
+    """P5: broadcast left-anti join (MunicipalityJobs.java:328-333)."""
+    return streets.join(F.broadcast(blacklist.select(on)), on, "left_anti")
+
+
+def group_street_names(assigned: DataFrame) -> DataFrame:
+    """A1: per (area_id, name): segment count + deterministic osm_id CSV
+    (reference accumulates a TreeMap then a CSV string,
+    MunicipalityJobs.java:324-368 / OSMStreet.java:192-201)."""
+    return assigned.groupBy("area_id", "name").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("osm_id")),  # numeric sort, then stringify
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("osm_ids"),
+    )
+
+
+def merge_street_geometries(assigned: DataFrame) -> DataFrame:
+    """A2: linemerge segments per (area_id, name) → merged WKT array.
+
+    applyInPandas per street group; geometry work is the from-scratch
+    endpoint-stitching linemerge (geo.geometry.linemerge).
+    """
+    schema = T.StructType(
+        [
+            T.StructField("area_id", T.LongType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("n_segments", T.IntegerType(), False),
+            T.StructField("n_merged", T.IntegerType(), False),
+            T.StructField("merged_wkt", T.StringType(), False),
+        ]
+    )
+
+    def merge(key, pdf):
+        lines = [
+            np.array([[r.x0, r.y0], [r.x1, r.y1]])
+            for r in pdf.itertuples(index=False)
+        ]
+        merged = G.linemerge(lines)
+        parts = [
+            "(" + ", ".join(f"{x:.7f} {y:.7f}" for x, y in m) + ")" for m in merged
+        ]
+        wkt = (
+            "MULTILINESTRING(" + ", ".join(parts) + ")"
+            if len(merged) != 1
+            else "LINESTRING" + parts[0]
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "area_id": key[0],
+                    "name": key[1],
+                    "n_segments": len(lines),
+                    "n_merged": len(merged),
+                    "merged_wkt": wkt,
+                }
+            ]
+        )
+
+    return assigned.groupBy("area_id", "name").applyInPandas(merge, schema)
+
+
+def augment_official_streets(
+    osm_catalog: DataFrame,
+    official_streets: DataFrame,
+) -> DataFrame:
+    """J7/U1: official street names missing from the OSM catalog get
+    null-geometry rows; output column ``source`` ∈ {'osm', 'official_only'}."""
+    missing = official_streets.join(
+        osm_catalog.select("area_id", "name"), ["area_id", "name"], "left_anti"
+    ).select(
+        "area_id",
+        "name",
+        F.lit(0).cast("long").alias("n_segments"),
+        F.lit("").alias("osm_ids"),
+        F.lit("official_only").alias("source"),
+    )
+    return osm_catalog.withColumn("source", F.lit("osm")).unionByName(missing)

@@ -9,8 +9,11 @@ hash-for-hash at sf=0.01.
 
 from __future__ import annotations
 
+from .geo.distance import distance_m_sql
 from .operators.match_eval import tag_priority_sql
 from .sources.addresses import job_flags_sql, official_sql, osm_sql
+from .sources.streets import HIGHWAY_WHITELIST, street_points_sql, street_segments_sql
+from .sources.synthetic import areas_sql, points_sql
 
 
 def _eval_ctes() -> str:
@@ -82,3 +85,43 @@ SELECT job_id,
        CAST(SUM(CASE WHEN treffertyp = 'o' THEN 1 ELSE 0 END) AS BIGINT) AS number_osmonly
 FROM matched GROUP BY job_id"""
     )
+
+
+def street_catalog_sql() -> str:
+    wl = ", ".join(f"'{h}'" for h in HIGHWAY_WHITELIST)
+    return f"""
+WITH segs AS (
+  SELECT * FROM {street_segments_sql()} t
+  WHERE highway IN ({wl}) AND osm_id % 97 <> 0
+),
+areas AS (SELECT * FROM {areas_sql()} a WHERE admin_level = 8),
+asg AS (
+  SELECT s.osm_id, s.name, a.area_id FROM segs s JOIN areas a
+    ON s.y0 >= a.ymin AND s.y0 <= a.ymax AND s.x1 >= a.xmin AND s.x0 <= a.xmax
+),
+cat AS (
+  SELECT area_id, name, COUNT(*) AS n_segments,
+         string_agg(CAST(osm_id AS VARCHAR), ',' ORDER BY osm_id) AS osm_ids
+  FROM asg GROUP BY area_id, name
+),
+official AS (
+  SELECT DISTINCT job_id + 100 AS area_id, street AS name FROM {official_sql()} o
+)
+SELECT area_id, name, n_segments, osm_ids, 'osm' AS source FROM cat
+UNION ALL
+SELECT o.area_id, o.name, CAST(0 AS BIGINT) AS n_segments, '' AS osm_ids,
+       'official_only' AS source
+FROM official o
+WHERE NOT EXISTS (
+  SELECT 1 FROM cat c WHERE c.area_id = o.area_id AND c.name = o.name)"""
+
+
+def knn_nearest_street_sql(k: int = 1) -> str:
+    dist = distance_m_sql("p.lon", "p.lat", "t.slon", "t.slat")
+    return f"""
+SELECT point_id, street_key, name, knn_rank FROM (
+  SELECT p.point_id, t.street_key, t.name,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p.point_id ORDER BY {dist}, t.street_key) AS INT) AS knn_rank
+  FROM {points_sql()} p CROSS JOIN {street_points_sql()} t
+) r WHERE knn_rank <= {k}"""

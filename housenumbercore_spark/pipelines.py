@@ -67,3 +67,52 @@ def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def evaluation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ME.evaluation_counters(evaluation_matched(spark, sf_dir))
+
+
+def street_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 parity: whitelist → blacklist → street-in-polygon → name
+    grouping → official-street augmentation."""
+    from .operators import street_catalog as SC
+    from .sources import streets as ST
+    from .sources import synthetic as S
+
+    segs = ST.street_segments_df(spark, sf_dir)
+    segs = SC.apply_whitelist(segs)
+    blacklist = segs.filter(F.col("osm_id") % 97 == 0)
+    segs = SC.apply_blacklist(segs, blacklist)
+    munis = S.areas_df(spark, sf_dir).filter(F.col("admin_level") == 8)
+    assigned = SC.streets_in_areas(spark, segs, munis)
+    catalog = SC.group_street_names(assigned)
+    official_streets = (
+        A.official_df(spark, sf_dir)
+        .select((F.col("job_id") + 100).alias("area_id"), F.col("street").alias("name"))
+        .dropDuplicates(["area_id", "name"])
+    )
+    return SC.augment_official_streets(catalog, official_streets)
+
+
+def street_merged_geometries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 linemerge per street (engine-only: WKT output, no SQL oracle)."""
+    from .operators import street_catalog as SC
+    from .sources import streets as ST
+    from .sources import synthetic as S
+
+    segs = SC.apply_whitelist(ST.street_segments_df(spark, sf_dir))
+    munis = S.areas_df(spark, sf_dir).filter(F.col("admin_level") == 8)
+    assigned = SC.streets_in_areas(spark, segs, munis)
+    return SC.merge_street_geometries(assigned)
+
+
+KNN_RES = 8  # ring-1 at res 8 covers the whole synthetic world → exact kNN
+
+
+def knn_nearest_street(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
+    """J10: nearest street per point via k-ring candidate expansion."""
+    from .operators import knn as KN
+    from .sources import streets as ST
+    from .sources import synthetic as S
+
+    pts = S.points_df(spark, sf_dir).select("point_id", "lon", "lat")
+    targets = ST.street_points_df(spark, sf_dir)
+    out = KN.knn_nearest(pts, targets, res=KNN_RES, k_ring=1, n_neighbors=k)
+    return out.select("point_id", "street_key", "name", "knn_rank")
