@@ -123,6 +123,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "street_merged_geometries": P.street_merged_geometries,  # engine-only
         "knn_nearest_street": lambda s, d: P.knn_nearest_street(s, d, k=1),
         "knn_nearest_street_k3": lambda s, d: P.knn_nearest_street(s, d, k=3),
+        # training-data pipeline ops over documents/embeddings
+        "text_token_stats": P.text_token_stats,
+        "text_quality": P.text_quality,
+        "text_lang_id": P.text_lang_id,
+        "text_lang_id_accuracy": P.text_lang_id_accuracy,
+        "text_fingerprints": P.text_fingerprints,
+        "dedup_exact": P.dedup_exact,
+        "dedup_minhash_buckets": P.dedup_minhash_buckets,
+        "dedup_minhash_pairs": P.dedup_minhash_pairs,
+        "dedup_simhash": P.dedup_simhash,
+        "dedup_simhash_pairs": P.dedup_simhash_pairs,
+        "dedup_ngram_jaccard": P.dedup_ngram_jaccard,
+        "sim_brute_topk": P.sim_brute_topk,
+        "sim_ann_buckets": P.sim_ann_buckets,
+        "sim_ann_topk": P.sim_ann_topk,
+        "sim_ann_recall": P.sim_ann_recall,
+        "emb_neardup_pairs": P.emb_neardup_pairs,
     }
 
 
@@ -137,8 +154,26 @@ def oracle_sql() -> dict[str, str]:
         f"AND p.lat >= a.ymin AND p.lat <= a.ymax"
     )
     from housenumbercore_spark import oracles as O
+    from housenumbercore_spark.text import oracles as TO
+    from housenumbercore_spark.vectors import oracles as VO
 
     return {
+        "text_token_stats": TO.token_stats_sql(),
+        "text_quality": TO.quality_sql(),
+        "text_lang_id": TO.lang_id_sql(),
+        "text_lang_id_accuracy": TO.lang_id_accuracy_sql(),
+        "text_fingerprints": TO.fingerprints_sql(),
+        "dedup_exact": TO.exact_dedup_sql(),
+        "dedup_minhash_buckets": TO.minhash_buckets_sql(),
+        "dedup_minhash_pairs": TO.minhash_pairs_sql(),
+        "dedup_simhash": TO.simhash_sql(),
+        "dedup_simhash_pairs": TO.simhash_pairs_sql(),
+        "dedup_ngram_jaccard": TO.ngram_jaccard_sql(),
+        "sim_brute_topk": VO.brute_force_topk_sql(),
+        "sim_ann_buckets": VO.ann_buckets_sql(),
+        "sim_ann_topk": VO.ann_topk_sql(),
+        "sim_ann_recall": VO.ann_recall_sql(),
+        "emb_neardup_pairs": VO.neardup_pairs_sql(),
         "street_catalog": O.street_catalog_sql(),
         "knn_nearest_street": O.knn_nearest_street_sql(1),
         "knn_nearest_street_k3": O.knn_nearest_street_sql(3),

@@ -103,6 +103,112 @@ def street_merged_geometries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SC.merge_street_geometries(assigned)
 
 
+def documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embeddings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import analysis as TA
+
+    return TA.token_stats(documents_df(spark, sf_dir))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import analysis as TA
+
+    return TA.quality_score(documents_df(spark, sf_dir))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import analysis as TA
+
+    return TA.lang_id(documents_df(spark, sf_dir))
+
+
+def text_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import analysis as TA
+
+    return TA.lang_id_accuracy(documents_df(spark, sf_dir))
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import analysis as TA
+
+    return TA.fingerprints(documents_df(spark, sf_dir))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import dedup as TD
+
+    return TD.exact_dedup(documents_df(spark, sf_dir))
+
+
+def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import dedup as TD
+
+    return TD.minhash_bands(TD.minhash_signatures(documents_df(spark, sf_dir)))
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import dedup as TD
+
+    return TD.minhash_dedup_pairs(documents_df(spark, sf_dir))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import dedup as TD
+
+    return TD.simhash(documents_df(spark, sf_dir))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import dedup as TD
+
+    return TD.simhash_pairs(documents_df(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import dedup as TD
+
+    return TD.ngram_jaccard_pairs(documents_df(spark, sf_dir))
+
+
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import similarity as VS
+
+    return VS.brute_force_topk(embeddings_df(spark, sf_dir))
+
+
+def sim_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import similarity as VS
+
+    return VS.ann_buckets(embeddings_df(spark, sf_dir)).select(
+        "vec_id", "tbl", "bucket"
+    )
+
+
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import similarity as VS
+
+    return VS.ann_topk(embeddings_df(spark, sf_dir))
+
+
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import similarity as VS
+
+    return VS.ann_recall(embeddings_df(spark, sf_dir))
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import similarity as VS
+
+    return VS.neardup_pairs(embeddings_df(spark, sf_dir))
+
+
 KNN_RES = 8  # ring-1 at res 8 covers the whole synthetic world → exact kNN
 
 

@@ -1,0 +1,147 @@
+"""Text analysis operators: token stats, quality score, language ID,
+document fingerprinting.
+
+All pure column expressions (whole-stage codegen; one narrow projection per
+operator — no shuffle, no Python). The reference's only text processing is
+street-name normalization (CsvReader.java:153-189, OSMStreet.java:121-130);
+these extend the same normalization layer to document-scale corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import ROLLING_BASE, MERSENNE31, h60_spark, tokens_spark
+
+# Per-language marker-word profiles for the n-gram/stopword language-ID
+# heuristic. Rank order (alphabetical) is the deterministic tie-break:
+# earlier rank wins on equal score.
+LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("de", ("der", "die", "das", "und", "ein", "mit", "nicht")),
+    ("en", ("the", "a", "of", "and", "in", "to", "is")),
+    ("es", ("el", "los", "y", "un", "de", "que", "no")),
+    ("fr", ("le", "la", "et", "un", "des", "les", "pas")),
+    ("zh", ("的", "是", "在", "了", "我", "不", "人")),
+)
+
+# English stopword list reused by the quality score.
+QUALITY_STOPWORDS = LANG_PROFILES[1][1]
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokenization (matches the oracle's regexp split)."""
+    return F.expr(tokens_spark(text_col))
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _count_in(words: tuple[str, ...]) -> Column:
+    """Non-distinct count of tokens appearing in a word set."""
+    return F.expr(
+        f"size(filter(toks, t -> array_contains(array({_sql_list(words)}), t)))"
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts: total, unique, mean token length (6 dp)."""
+    return (
+        docs.withColumn("toks", tokens_col())
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
+            F.round(
+                F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+                / F.size("toks"),
+                6,
+            ).alias("mean_token_len"),
+        )
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite document-quality score in [0,1]: length, stopword ratio,
+    mean word length — rational arithmetic only, identical in the oracle."""
+    d = docs.withColumn("toks", tokens_col())
+    n_tokens = F.size("toks")
+    n_stop = _count_in(QUALITY_STOPWORDS)
+    sum_len = F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+    mean_len = sum_len / n_tokens
+    quality = F.round(
+        F.least(n_tokens, F.lit(400)) / F.lit(400.0) * 0.4
+        + (F.lit(1.0) - n_stop / n_tokens) * 0.3
+        + F.least(mean_len, F.lit(8.0)) / F.lit(8.0) * 0.3,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID: argmax of per-language marker hits,
+    ties broken by profile rank (array_max over (score, -rank) structs —
+    a narrow projection, no shuffle)."""
+    d = docs.withColumn("toks", tokens_col())
+    scored = F.array(
+        *[
+            F.struct(
+                _count_in(words).alias("score"),
+                F.lit(-rank).alias("nr"),
+            )
+            for rank, (_lang, words) in enumerate(LANG_PROFILES)
+        ]
+    )
+    langs = F.array(*[F.lit(lang) for lang, _ in LANG_PROFILES])
+    d = d.withColumn("best", F.array_max(scored))
+    return d.select(
+        "doc_id",
+        F.element_at(langs, -F.col("best.nr") + 1).alias("pred_lang"),
+        F.col("best.score").alias("lang_score"),
+        F.col("lang").alias("label_lang"),
+    )
+
+
+def lang_id_accuracy(docs: DataFrame) -> DataFrame:
+    """Confusion counts of predicted vs labeled language."""
+    return (
+        lang_id(docs)
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+FINGERPRINT_SHINGLE = 5
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: full-content 60-bit hash, polynomial rolling
+    hash over tokens (acc*B + h31(token) mod 2^31-1), and the min word-
+    5-gram hash (winnowing-style min-shingle)."""
+    k = FINGERPRINT_SHINGLE
+    d = docs.withColumn("toks", tokens_col())
+    rolling = F.expr(
+        f"aggregate(transform(toks, t -> {h60_spark('t')} % {MERSENNE31}), 0L, "
+        f"(acc, h) -> (acc * {ROLLING_BASE} + h) % {MERSENNE31})"
+    )
+    gram = "concat_ws(' ', slice(toks, i, " + str(k) + "))"
+    min_shingle = F.expr(
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"array_min(transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> {h60_spark(gram)})) "
+        f"ELSE {h60_spark('text')} END"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(h60_spark("text")).alias("content_hash"),
+        rolling.alias("rolling_hash"),
+        min_shingle.alias("min_shingle_hash"),
+    )

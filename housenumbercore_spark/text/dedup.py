@@ -1,0 +1,226 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB corpus):
+- Exact dedup groups on a 60-bit content hash — map-side partial agg, one
+  shuffle on the hash key, never on the text payload.
+- MinHash signatures are pure per-row column expressions (no shuffle, no
+  Python); only the 32×int64 signature — not the document — enters the LSH
+  band shuffle. Candidate generation is an equi-join on (band, bucket),
+  AQE skew-join handles hot buckets.
+- SimHash is likewise per-row; candidates via 10-bit band equi-join, then a
+  bit_count(xor) refine.
+- n-gram Jaccard uses the inverted-index join (explode shingle → equi-join
+  on shingle → count per pair), the set-based alternative to all-pairs.
+
+All integer arithmetic is reproduced bit-for-bit by text/oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import tokens_col
+from .hashing import (
+    MERSENNE31,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_ROWS,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    h60_spark,
+)
+
+NORM_EXPR = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on normalized content hash: every doc mapped to the
+    canonical (min doc_id) of its content group."""
+    keyed = docs.select(
+        "doc_id", F.expr(h60_spark(NORM_EXPR)).alias("content_key")
+    )
+    groups = keyed.groupBy("content_key").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        keyed.join(groups, "content_key")
+        .select(
+            "doc_id",
+            "content_key",
+            "canonical_doc_id",
+            "group_size",
+            (F.col("group_size") > 1).alias("is_duplicate_group"),
+        )
+    )
+
+
+def shingle_expr(k: int) -> str:
+    """Distinct word-k-gram shingles of `toks` (whole text if < k tokens)."""
+    if k == 1:
+        return "array_distinct(toks)"
+    return (
+        f"CASE WHEN size(toks) >= {k} THEN array_distinct("
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {k})))) "
+        f"ELSE array(concat_ws(' ', toks)) END"
+    )
+
+
+def with_shingle_hashes(docs: DataFrame, k: int) -> DataFrame:
+    """doc_id + distinct shingle strings + their 31-bit hashes."""
+    return (
+        docs.withColumn("toks", tokens_col())
+        .withColumn("shingles", F.expr(shingle_expr(k)))
+        .withColumn(
+            "sh31",
+            F.expr(f"transform(shingles, s -> {h60_spark('s')} % {MERSENNE31})"),
+        )
+        .select("doc_id", "shingles", "sh31")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 2) -> DataFrame:
+    """32-element MinHash signature per doc (universal hashing
+    (a*h+b) mod 2^31-1 over shingle hashes; constants in hashing.py)."""
+    d = with_shingle_hashes(docs, k)
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(sh31, h -> ({a} * h + {b}) % {MERSENNE31}))"
+            )
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+    return d.select("doc_id", sig.alias("sig"))
+
+
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode each signature into (band, bucket): bucket = 60-bit hash of
+    the band's row slice. Only (doc_id, band, bucket) int64s shuffle."""
+    r = MINHASH_ROWS
+    buckets = F.array(
+        *[
+            F.expr(h60_spark(f"concat_ws(',', slice(sig, {j * r + 1}, {r}))"))
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.posexplode(buckets).alias("band", "bucket")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing any LSH bucket —
+    equi-join on (band, bucket); AQE splits skewed hot buckets."""
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, k: int = 2) -> DataFrame:
+    """MinHash LSH candidates verified with exact shingle Jaccard."""
+    sh = with_shingle_hashes(docs, k).select("doc_id", "shingles")
+    pairs = lsh_candidate_pairs(minhash_bands(minhash_signatures(docs, k)))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash over tokens (with multiplicity): bit j is set when the
+    sum of ±1 votes from token-hash bit j is positive. Pure per-row
+    expression — nested higher-order aggregate, no shuffle."""
+    d = docs.withColumn("toks", tokens_col()).withColumn(
+        "hs", F.expr(f"transform(toks, t -> {h60_spark('t')})")
+    )
+    sim = F.expr(
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, j) -> acc + "
+        f"IF(aggregate(hs, 0L, (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) > 0, shiftleft(1L, j), 0L))"
+    )
+    return d.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 24) -> DataFrame:
+    """Near-dup pairs by SimHash: 10-bit band equi-join for candidates,
+    then exact Hamming distance via bit_count(xor) refine."""
+    s = simhash(docs)
+    bb = SIMHASH_BAND_BITS
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {j * bb}) & {(1 << bb) - 1}")
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bucket"
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").alias("hamming")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard via the inverted-index join: explode distinct
+    shingles, self-join on shingle (only pairs sharing >=1 shingle are ever
+    materialized), count intersections per pair, derive Jaccard."""
+    sh = with_shingle_hashes(docs, k).select(
+        "doc_id", F.size("shingles").alias("n_sh"), "shingles"
+    )
+    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    left = inv.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    right = inv.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return inter.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

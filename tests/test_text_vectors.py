@@ -1,0 +1,83 @@
+"""Text-analysis / dedup / vector-similarity operators vs the DuckDB oracle.
+
+Every query is compared cell-for-cell (exact equality, including the rounded
+doubles — the arithmetic is designed to be bit-identical across engines, see
+text/hashing.py and vectors/similarity.py).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_lang_id_accuracy",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_minhash_buckets",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_brute_topk",
+    "sim_ann_buckets",
+    "sim_ann_topk",
+    "sim_ann_recall",
+    "emb_neardup_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    import __spark_entry__ as E
+
+    got = _normalize(E.queries()[name](spark, SF).toPandas())
+    want = _normalize(duck.execute(E.oracle_sql()[name]).df())
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    assert list(got.columns) == list(want.columns), name
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            ok = (a.isna() & b.isna()) | (a.astype(float) == b.astype(float))
+        else:
+            ok = a.astype(object) == b.astype(object)
+        assert ok.all(), f"{name}.{c}: first diff at {ok.idxmin()}: " f"{a[~ok].head(3).tolist()} vs {b[~ok].head(3).tolist()}"
+
+
+def test_minhash_pairs_nonempty_and_verified(spark):
+    """The LSH candidate set must be non-degenerate on the test corpus and
+    every surviving pair's Jaccard must be a valid ratio."""
+    import __spark_entry__ as E
+
+    df = E.queries()["dedup_minhash_pairs"](spark, SF).toPandas()
+    assert (df.jaccard >= 0).all() and (df.jaccard <= 1).all()
+
+
+def test_ann_recall_bounds(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["sim_ann_recall"](spark, SF).toPandas()
+    assert len(df) == 8  # one row per query
+    assert ((df.recall_at_k >= 0) & (df.recall_at_k <= 1)).all()
