@@ -102,6 +102,25 @@ def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IU.decode_stats(IMG.images_df(spark, N_IMAGES))
 
 
+def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed tile-assignment run (4 partitions) returning the lineage
+    manifest (partition, fingerprint, row count, xor row digest). The digest
+    arithmetic is deterministic, so the oracle reproduces it exactly."""
+    import tempfile
+
+    from housenumbercore_spark import checkpoint as CP
+    from housenumbercore_spark.operators import pip_join as PJ
+    from housenumbercore_spark.sources import synthetic as S
+
+    def build(spark: SparkSession, key) -> DataFrame:
+        pts = S.points_df(spark, sf_dir).filter(F.col("point_id") % 4 == int(key))
+        return PJ.tile_assign(pts, TILE_RES).select("point_id", "tile_id")
+
+    out = tempfile.mkdtemp(prefix="hns_ckpt_")
+    CP.checkpointed_run(spark, build, [0, 1, 2, 3], out, "driver", max_concurrency=2)
+    return CP.manifest_summary(spark, out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from housenumbercore_spark import pipelines as P
 
@@ -140,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_topk": P.sim_ann_topk,
         "sim_ann_recall": P.sim_ann_recall,
         "emb_neardup_pairs": P.emb_neardup_pairs,
+        "checkpoint_lineage": _q_checkpoint_lineage,
     }
 
 
@@ -192,5 +212,14 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": (
             f"SELECT {cell_sql('lon', 'lat', TILE_RES)} AS tile_id, "
             f"COUNT(*) AS n_points FROM {pts} p GROUP BY 1"
+        ),
+        "checkpoint_lineage": (
+            "SELECT CAST(point_id % 4 AS VARCHAR) AS partition, "
+            "'driver' AS input_fingerprint, COUNT(*) AS row_count, "
+            "bit_xor(('0x' || substr(md5("
+            "'{\"point_id\":' || point_id || ',\"tile_id\":' || tile_id || '}'"
+            "), 1, 15))::BIGINT) AS value_digest "
+            f"FROM (SELECT point_id, {cell_sql('lon', 'lat', TILE_RES)} AS tile_id "
+            f"FROM {pts} p) t GROUP BY point_id % 4"
         ),
     }

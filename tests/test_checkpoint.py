@@ -1,0 +1,97 @@
+"""Checkpoint/lineage + resume protocol (SURVEY.md §7 step 8, north rule)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from housenumbercore_spark import checkpoint as CP
+
+SF = "/root/testdata/sf0.001"
+FP = "snap-001"
+
+
+def _builder(spark, key):
+    from housenumbercore_spark.operators import pip_join as PJ
+    from housenumbercore_spark.sources import synthetic as S
+
+    pts = S.points_df(spark, SF).filter(F.col("point_id") % 4 == int(key))
+    areas = S.areas_df(spark, SF)
+    return PJ.assign_points_to_areas(spark, pts, areas).select(
+        "point_id", "area_id"
+    )
+
+
+KEYS = [0, 1, 2, 3]
+
+
+def test_crash_resume_no_recompute_and_identical_output(spark, tmp_path):
+    out = str(tmp_path / "ckpt")
+
+    # first attempt crashes on partition 2 (sequential → 0,1 committed)
+    with pytest.raises(CP.PartitionFailure):
+        CP.checkpointed_run(
+            spark, _builder, KEYS, out, FP, max_concurrency=1, fail_on={2}
+        )
+    assert CP.load_manifest(out, 0) is not None
+    assert CP.load_manifest(out, 1) is not None
+    assert CP.load_manifest(out, 2) is None  # data possibly written, not committed
+
+    mtimes_before = {
+        k: os.path.getmtime(os.path.join(out, f"part={k}", CP.MANIFEST_NAME))
+        for k in (0, 1)
+    }
+
+    # resume: completed partitions skipped, the rest computed
+    summary = CP.checkpointed_run(spark, _builder, KEYS, out, FP, max_concurrency=1)
+    assert summary["skipped"] == ["0", "1"]
+    assert summary["computed"] == ["2", "3"]
+    for k in (0, 1):
+        assert (
+            os.path.getmtime(os.path.join(out, f"part={k}", CP.MANIFEST_NAME))
+            == mtimes_before[k]
+        ), "completed partition was recomputed"
+
+    # resumed output == single-shot full run
+    full = (
+        spark.createDataFrame(
+            sum((_builder(spark, k).collect() for k in KEYS), []),
+            "point_id long, area_id int",
+        )
+        .toPandas()
+        .sort_values(["point_id", "area_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        CP.read_checkpointed(spark, out)
+        .toPandas()
+        .sort_values(["point_id", "area_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(full)
+
+    # lineage audit: every manifest digest matches the data on disk
+    audit = CP.verify_checkpoints(spark, out).toPandas()
+    assert len(audit) == 4 and audit.ok.all()
+
+
+def test_fingerprint_change_forces_recompute(spark, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    s1 = CP.checkpointed_run(spark, _builder, [0, 1], out, "snapA", max_concurrency=2)
+    assert s1["computed"] == ["0", "1"]
+    s2 = CP.checkpointed_run(spark, _builder, [0, 1], out, "snapA", max_concurrency=2)
+    assert s2["skipped"] == ["0", "1"] and s2["computed"] == []
+    s3 = CP.checkpointed_run(spark, _builder, [0, 1], out, "snapB", max_concurrency=2)
+    assert s3["computed"] == ["0", "1"] and s3["skipped"] == []
+
+
+def test_digest_is_order_independent(spark):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "id long, v string")
+    n1, d1 = CP.compute_digest(df1.repartition(3))
+    n2, d2 = CP.compute_digest(df2.repartition(2))
+    assert (n1, d1) == (n2, d2)
+    n3, d3 = CP.compute_digest(df1.filter("id < 3"))
+    assert d3 != d1
