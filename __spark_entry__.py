@@ -160,6 +160,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_recall": P.sim_ann_recall,
         "emb_neardup_pairs": P.emb_neardup_pairs,
         "checkpoint_lineage": _q_checkpoint_lineage,
+        "csv_import_roundtrip": P.csv_import_roundtrip,
+        "hnr_explode": P.hnr_explode,
+        "associated_street": P.associated_street,
+        "merge_diff": P.merge_diff,
+        "merge_action_counters": P.merge_action_counters,
+        "boundary_select": P.boundary_select,
+        "josm_export": P.josm_export_rows,
+        "census_counters": P.census_counters,
+        "stream_windowed_counts": P.stream_windowed_counts,
+        "stream_sessions": P.stream_sessions,
     }
 
 
@@ -177,7 +187,19 @@ def oracle_sql() -> dict[str, str]:
     from housenumbercore_spark.text import oracles as TO
     from housenumbercore_spark.vectors import oracles as VO
 
+    from housenumbercore_spark.pipelines import csv_import_roundtrip_sql
+
     return {
+        "csv_import_roundtrip": csv_import_roundtrip_sql(),
+        "hnr_explode": O.hnr_explode_sql(),
+        "associated_street": O.associated_street_sql(),
+        "merge_diff": O.merge_diff_sql(),
+        "merge_action_counters": O.merge_counters_sql(),
+        "boundary_select": O.boundary_select_sql(),
+        "josm_export": O.josm_export_sql(),
+        "census_counters": O.census_counters_sql(),
+        "stream_windowed_counts": O.stream_windowed_counts_sql(),
+        "stream_sessions": O.stream_sessions_sql(),
         "text_token_stats": TO.token_stats_sql(),
         "text_quality": TO.quality_sql(),
         "text_lang_id": TO.lang_id_sql(),

@@ -1,0 +1,65 @@
+"""Diff/merge sink semantics (M1/S9) as a set-based operator.
+
+The reference's Workcache loads the previous result set, flips per-row
+states (dbloaded → unchanged/changed/new, leftovers → deleted) and writes
+back row-by-row (/root/reference/src/de/regioosm/theoreticalhousenumbercore/
+util/Workcache.java:114-132, 209-240, 243-424). Here the same protocol is
+ONE full-outer join producing an action column, from which both the new
+snapshot and the audit counters derive — at scale this is a single shuffle
+on the merge key (or an Iceberg MERGE INTO where a catalog exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ACTIONS = ("insert", "update", "unchanged", "delete")
+
+
+def merge_actions(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    compare: list[str],
+) -> DataFrame:
+    """Full-outer diff: one row per key with action ∈ insert/update/
+    unchanged/delete plus the surviving (post-merge) values."""
+    b = base.select(
+        *keys,
+        *[F.col(c).alias(f"__b_{c}") for c in compare],
+        F.lit(True).alias("__b_present"),
+    )
+    u = updates.select(
+        *keys,
+        *[F.col(c).alias(f"__u_{c}") for c in compare],
+        F.lit(True).alias("__u_present"),
+    )
+    j = b.join(u, keys, "full_outer")
+    in_b = F.col("__b_present").isNotNull()
+    in_u = F.col("__u_present").isNotNull()
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~(
+            F.col(f"__b_{c}").eqNullSafe(F.col(f"__u_{c}"))
+        )
+    action = (
+        F.when(~in_b, F.lit("insert"))
+        .when(~in_u, F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_vals = [
+        F.coalesce(F.col(f"__u_{c}"), F.col(f"__b_{c}")).alias(c) for c in compare
+    ]
+    return j.select(*keys, *out_vals, action.alias("action"))
+
+
+def apply_merge(actions_df: DataFrame, keys: list[str], compare: list[str]) -> DataFrame:
+    """New snapshot: everything except deletes (values already merged)."""
+    return actions_df.filter(F.col("action") != "delete").select(*keys, *compare)
+
+
+def merge_counters(actions_df: DataFrame) -> DataFrame:
+    """Audit counts per action (the reference logs these per job)."""
+    return actions_df.groupBy("action").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -40,7 +40,13 @@ from pyspark.sql import types as T
 from ..geo import cells as C
 from ..geo import geometry as G
 
-COVER_MAX_CELLS_PER_AREA = 256
+import os
+
+# Cover granularity trades boundary-cell share (finer → fewer refine
+# rows) against broadcast-map size (finer → slower hash probes). Measured
+# on the sf0.1 flagship: 256 cells/area beats 1024 by ~35% wall — probe
+# locality wins over refine savings here.
+COVER_MAX_CELLS_PER_AREA = int(os.environ.get("SPARK_GRAFT_COVER_CELLS", "256"))
 
 
 def pick_join_res(areas: DataFrame, bbox_cols=("xmin", "ymin", "xmax", "ymax"),
@@ -60,60 +66,196 @@ def pick_join_res(areas: DataFrame, bbox_cols=("xmin", "ymin", "xmax", "ymax"),
     )
 
 
+def _boundary_cells(poly, res: int) -> np.ndarray:
+    """Cells the polygon BOUNDARY passes through — exact superset.
+
+    Every ring is sampled along its arc length at step = cellsize/2
+    (vertices included exactly), and the sampled cells are padded with
+    k_ring(1). Any boundary point is within cellsize/4 of a sample, hence
+    inside the sample's cell or an adjacent one → always inside the padded
+    set. This also catches long edges that cross cells containing no
+    vertex (which a vertex-cell test alone would miss).
+    """
+    n = 1 << res
+    step = min(360.0 / n, 180.0 / n) / 2.0
+    marked: list[np.ndarray] = []
+    for p in G.to_polygons(poly):
+        for ring in p.rings:
+            xs, ys = ring[:, 0], ring[:, 1]
+            seg = np.hypot(np.diff(xs), np.diff(ys))
+            cum = np.concatenate([[0.0], np.cumsum(seg)])
+            total = float(cum[-1])
+            nsamp = max(int(np.ceil(total / step)) + 1, 2)
+            ts = np.linspace(0.0, total, nsamp)
+            sx = np.concatenate([np.interp(ts, cum, xs), xs])
+            sy = np.concatenate([np.interp(ts, cum, ys), ys])
+            marked.append(C.encode_cells(sx, sy, res))
+    cells = np.unique(np.concatenate(marked))
+    return np.unique(C.k_ring(cells, 1).ravel())
+
+
+def _ring_edges(poly) -> np.ndarray:
+    """All ring edges of a (multi)polygon as an (E, 4) array [x0,y0,x1,y1]."""
+    segs = []
+    for p in G.to_polygons(poly):
+        for ring in p.rings:
+            r = _np_close(ring)
+            segs.append(
+                np.column_stack([r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]])
+            )
+    return np.concatenate(segs) if segs else np.empty((0, 4))
+
+
+def _np_close(ring: np.ndarray) -> np.ndarray:
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        return np.vstack([ring, ring[:1]])
+    return ring
+
+
+def _parity(edges: np.ndarray, x: float, y: float) -> bool:
+    """Even-odd membership by ray casting over ALL ring edges (holes are
+    handled by parity naturally)."""
+    y0, y1 = edges[:, 1], edges[:, 3]
+    x0, x1 = edges[:, 0], edges[:, 2]
+    m = (y0 > y) != (y1 > y)
+    if not m.any():
+        return False
+    xi = x0[m] + (y - y0[m]) * (x1[m] - x0[m]) / (y1[m] - y0[m])
+    return bool(np.count_nonzero(xi > x) % 2)
+
+
+def _seg_point_dist(edges: np.ndarray, x: float, y: float) -> float:
+    dx, dy = edges[:, 2] - edges[:, 0], edges[:, 3] - edges[:, 1]
+    L2 = dx * dx + dy * dy
+    t = np.clip(
+        ((x - edges[:, 0]) * dx + (y - edges[:, 1]) * dy) / np.where(L2 > 0, L2, 1),
+        0.0,
+        1.0,
+    )
+    px, py = edges[:, 0] + t * dx, edges[:, 1] + t * dy
+    return float(np.min(np.hypot(px - x, py - y))) if len(edges) else np.inf
+
+
 def cover_cells(
     areas: DataFrame,
     res: int,
     id_col: str = "area_id",
     wkb_col: str = "polygon",
 ) -> DataFrame:
-    """Explode the polygon dimension into (cell, area_id) cover rows.
+    """Explode the polygon dimension into refine-ready cover rows:
+    ``(cell, area_id, full, ref_x, ref_y, ref_inside, edges)``.
 
-    Superset guarantee: every cell whose rectangle intersects the polygon's
-    bbox is emitted unless the cell rectangle provably misses the polygon
-    (all four corners outside AND no polygon vertex inside AND no edge
-    crossing — tested via the exact kernel on the cell's corner ring).
+    Superset guarantee: a cell is emitted iff a corner/center is covered OR
+    the boundary (padded, exact — see _boundary_cells) touches it; no
+    covered point can sit in an unemitted cell.
+
+    The refine payload makes the exact point-in-polygon test a PURE JVM
+    expression downstream (jvm_refine_expr): for each cell we store the
+    ring edges whose bbox overlaps the cell (conservative superset — extra
+    edges cannot cross an in-cell segment, so they are harmless), a
+    reference point inside the cell that is provably off-boundary, and the
+    reference point's even-odd membership. A point P in the cell is inside
+    the polygon iff ref_inside XOR (segment ref→P properly crosses an odd
+    number of stored edges). ``full`` cells (entirely interior) carry zero
+    edges, so the same expression short-circuits to ``ref_inside``.
+
+    Scale note: the dim explodes to ≈ cover_cells × (1 + edges/cell) narrow
+    rows; for dims too large to broadcast, use salted_cell_join and the
+    same refine expression.
     """
     out_schema = T.StructType(
         [
             T.StructField("cell", T.LongType(), False),
             T.StructField(id_col, areas.schema[id_col].dataType, False),
+            T.StructField("full", T.BooleanType(), False),
+            T.StructField("ref_x", T.DoubleType(), False),
+            T.StructField("ref_y", T.DoubleType(), False),
+            T.StructField("ref_inside", T.BooleanType(), False),
+            T.StructField(
+                "edges", T.ArrayType(T.ArrayType(T.DoubleType()), False), False
+            ),
         ]
     )
 
     def gen(batches):
         for pdf in batches:
-            out_cells: list[np.ndarray] = []
-            out_ids: list[np.ndarray] = []
+            rows: list[tuple] = []
             for aid, wkb in zip(pdf[id_col].values, pdf[wkb_col].values):
                 poly = G.parse_wkb(bytes(wkb))
                 bx = poly.bbox()
                 cand = C.cover_bbox(bx[0], bx[1], bx[2], bx[3], res)
-                if len(cand) > 4:  # prune only when it pays
-                    lo, la, hi, ha = C.cell_bounds(cand)
-                    keep = np.zeros(len(cand), dtype=bool)
-                    # corner-covered test (vectorized over 4 corners)
-                    for cx, cy in ((lo, la), (hi, la), (hi, ha), (lo, ha),
-                                   ((lo + hi) / 2, (la + ha) / 2)):
-                        keep |= G.covers(poly, cx, cy)
-                    # cells containing polygon vertices / crossed by edges
-                    for p in G.to_polygons(poly):
-                        for ring in p.rings:
-                            vc = C.encode_cells(ring[:, 0], ring[:, 1], res)
-                            keep |= np.isin(cand, vc)
-                            # conservative: pad cells adjacent to ring cells
-                            ring_cells = np.unique(vc)
-                            if len(ring_cells):
-                                padded = C.k_ring(ring_cells, 1).ravel()
-                                keep |= np.isin(cand, padded)
-                    cand = cand[keep]
-                out_cells.append(cand)
-                out_ids.append(np.full(len(cand), aid))
-            if out_cells:
+                lo, la, hi, ha = C.cell_bounds(cand)
+                corner_all = np.ones(len(cand), dtype=bool)
+                corner_any = np.zeros(len(cand), dtype=bool)
+                for cx, cy in ((lo, la), (hi, la), (hi, ha), (lo, ha)):
+                    cov = G.covers(poly, cx, cy)
+                    corner_all &= cov
+                    corner_any |= cov
+                corner_any |= G.covers(poly, (lo + hi) / 2, (la + ha) / 2)
+                on_boundary = np.isin(cand, _boundary_cells(poly, res))
+                keep = corner_any | on_boundary
+                full = corner_all & ~on_boundary
+                all_edges = _ring_edges(poly)
+                ebx = np.minimum(all_edges[:, 0], all_edges[:, 2])
+                ebX = np.maximum(all_edges[:, 0], all_edges[:, 2])
+                eby = np.minimum(all_edges[:, 1], all_edges[:, 3])
+                ebY = np.maximum(all_edges[:, 1], all_edges[:, 3])
+                pad = (hi[0] - lo[0]) * 1e-9 if len(cand) else 0.0
+                for i in np.nonzero(keep)[0]:
+                    if full[i]:
+                        rows.append(
+                            (int(cand[i]), aid, True,
+                             float((lo[i] + hi[i]) / 2),
+                             float((la[i] + ha[i]) / 2), True, [])
+                        )
+                        continue
+                    em = (
+                        (ebX >= lo[i] - pad) & (ebx <= hi[i] + pad)
+                        & (ebY >= la[i] - pad) & (eby <= ha[i] + pad)
+                    )
+                    edges = all_edges[em]
+                    # reference point: strictly inside the cell, off-boundary
+                    w, h = hi[i] - lo[i], ha[i] - la[i]
+                    ref = None
+                    for fx, fy in ((0.5, 0.5), (0.25, 0.25), (0.75, 0.25),
+                                   (0.25, 0.75), (0.75, 0.75), (0.382, 0.618),
+                                   (0.618, 0.382), (0.137, 0.421)):
+                        rx, ry = lo[i] + fx * w, la[i] + fy * h
+                        if _seg_point_dist(edges, rx, ry) > 1e-9 * max(w, h):
+                            ref = (rx, ry)
+                            break
+                    if ref is None:  # pathological; fall back to center
+                        ref = (lo[i] + 0.5 * w, la[i] + 0.5 * h)
+                    rows.append(
+                        (int(cand[i]), aid, False, float(ref[0]), float(ref[1]),
+                         _parity(all_edges, ref[0], ref[1]),
+                         [e.tolist() for e in edges])
+                    )
+            if rows:
                 yield pd.DataFrame(
-                    {"cell": np.concatenate(out_cells), id_col: np.concatenate(out_ids)}
+                    rows,
+                    columns=["cell", id_col, "full", "ref_x", "ref_y",
+                             "ref_inside", "edges"],
                 )
 
     return areas.select(id_col, wkb_col).mapInPandas(gen, out_schema)
+
+
+def jvm_refine_expr(lon: str = "lon", lat: str = "lat") -> F.Column:
+    """Exact point-in-polygon as a pure whole-stage-codegen expression over
+    the cover_cells refine payload: even-odd parity transported from the
+    cell's reference point along the segment ref→point, counting proper
+    crossings with the cell's stored edges (see cover_cells docstring)."""
+    # ccw(A,B,P) sign tests; A=ref, B=point, C/D=edge endpoints
+    d1 = f"((({lon})-ref_x)*(e[1]-ref_y) - (({lat})-ref_y)*(e[0]-ref_x))"
+    d2 = f"((({lon})-ref_x)*(e[3]-ref_y) - (({lat})-ref_y)*(e[2]-ref_x))"
+    d3 = f"((e[2]-e[0])*(ref_y-e[1]) - (e[3]-e[1])*(ref_x-e[0]))"
+    d4 = f"((e[2]-e[0])*(({lat})-e[1]) - (e[3]-e[1])*(({lon})-e[0]))"
+    crossings = (
+        f"aggregate(edges, 0, (acc, e) -> acc + "
+        f"IF(({d1}) * ({d2}) < 0 AND ({d3}) * ({d4}) < 0, 1, 0))"
+    )
+    return F.expr(f"ref_inside != (({crossings}) % 2 = 1)")
 
 
 def refine_covers(
@@ -164,26 +306,43 @@ def assign_points_to_areas(
     res: int | None = None,
     predicate: str = "covers",
     exact: bool = True,
+    refine: str = "jvm",
 ) -> DataFrame:
     """points × areas spatial join: one output row per (point, covering area).
 
     Overlapping admin levels produce multiple rows per point by design
     (reference evaluates each area independently; SURVEY.md §7.3).
+
+    ``refine="jvm"`` (default) keeps the exact test inside whole-stage
+    codegen — zero Python on the fact path (measured: the Arrow/IPC hop
+    caps at a few M rows/s per node regardless of cores, so this is the
+    difference between a scaling and a non-scaling plan).
+    ``refine="python"`` routes boundary-cell candidates through the
+    vectorized kernel instead (boundary-inclusive ``covers`` / strict
+    ``contains`` semantics for points exactly ON a polygon boundary).
     """
     if res is None:
         res = pick_join_res(areas)
     dim = cover_cells(areas, res, id_col=id_col, wkb_col=wkb_col)
+    refine_cols = ["full", "ref_x", "ref_y", "ref_inside", "edges"]
     pts = points.withColumn("__cell", C.cell_col(lon, lat, res))
     cand = pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner").drop(
         "cell", "__cell"
     )
     if not exact:
-        return cand
+        return cand.drop(*refine_cols)
+    if refine == "jvm":
+        return cand.filter(jvm_refine_expr(lon, lat)).drop(*refine_cols)
+    # python path: interior cells accepted by construction, boundary cells
+    # through the vectorized exact kernel
+    interior = cand.filter(F.col("full")).drop(*refine_cols)
+    boundary = cand.filter(~F.col("full")).drop(*refine_cols)
     polygons = {
         r[0]: bytes(r[1]) for r in areas.select(id_col, wkb_col).collect()
     }
-    return refine_covers(cand, polygons, spark, id_col=id_col, lon=lon, lat=lat,
-                         predicate=predicate)
+    refined = refine_covers(boundary, polygons, spark, id_col=id_col, lon=lon,
+                            lat=lat, predicate=predicate)
+    return interior.unionByName(refined)
 
 
 def salted_cell_join(

@@ -1,0 +1,48 @@
+"""associatedStreet relation resolution (J8).
+
+The reference finds, per address object, the OSM relation whose flat
+``members`` array contains the object id and takes the relation's ``name``
+as the street (memoized per-object scans of planet_rels,
+/root/reference/src/de/regioosm/theoreticalhousenumbercore/
+TheoreticalHousenumbers.java:184-289; batch variant
+OSMRelationAssociatedStreetWorkaround.java:130-415).
+
+Spark-first: explode the members array once into a narrow (member_id →
+rel) table, equi-join on object id, deterministic pick (lowest rel_id) via
+one window — the whole planet_rels scan becomes a single shuffle instead
+of a per-object array scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def resolve_associated_street(
+    objects: DataFrame,
+    relations: DataFrame,
+    object_id: str = "osm_id",
+    street_col: str = "street",
+) -> DataFrame:
+    """Attach ``assoc_street`` (name of the lowest-rel_id relation whose
+    members contain the object) and ``effective_street`` =
+    coalesce(assoc_street, street) to every object row."""
+    members = relations.select(
+        "rel_id",
+        F.col("name").alias("assoc_street"),
+        F.explode("members").alias("member_id"),
+    )
+    w = W.partitionBy("member_id").orderBy("rel_id")
+    best = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("member_id", "rel_id", "assoc_street")
+    )
+    out = objects.join(
+        best, objects[object_id] == best["member_id"], "left"
+    ).drop("member_id")
+    return out.withColumn(
+        "effective_street", F.coalesce(F.col("assoc_street"), F.col(street_col))
+    )

@@ -10,8 +10,15 @@ hash-for-hash at sf=0.01.
 from __future__ import annotations
 
 from .geo.distance import distance_m_sql
+from .norm.housenumbers import housenumber_sortable_sql
 from .operators.match_eval import tag_priority_sql
-from .sources.addresses import job_flags_sql, official_sql, osm_sql
+from .sources.addresses import (
+    job_flags_sql,
+    official_sql,
+    osm_sql,
+    raw_housenumbers_sql,
+)
+from .sources.relations_src import relations_sql
 from .sources.streets import HIGHWAY_WHITELIST, street_points_sql, street_segments_sql
 from .sources.synthetic import areas_sql, points_sql
 
@@ -114,6 +121,176 @@ SELECT o.area_id, o.name, CAST(0 AS BIGINT) AS n_segments, '' AS osm_ids,
 FROM official o
 WHERE NOT EXISTS (
   SELECT 1 FROM cat c WHERE c.area_id = o.area_id AND c.name = o.name)"""
+
+
+def hnr_explode_sql() -> str:
+    a = "trim(split_part(part, '-', 1))"
+    b = "trim(split_part(part, '-', 2))"
+    valid = (
+        f"length(part) - length(replace(part, '-', '')) = 1 "
+        f"AND regexp_matches({a}, '^[0-9]+$') AND regexp_matches({b}, '^[0-9]+$') "
+        f"AND CAST({b} AS INT) > CAST({a} AS INT)"
+    )
+    expand = (
+        f"CASE WHEN NOT contains(part, '-') THEN [part] "
+        f"WHEN {valid} THEN list_transform("
+        f"generate_series(CAST({a} AS INT), CAST({b} AS INT), 2), "
+        f"x -> CAST(x AS VARCHAR)) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return f"""
+WITH raw AS (SELECT * FROM {raw_housenumbers_sql()} r),
+parts AS (
+  SELECT rec_id, trim(p) AS part FROM (
+    SELECT rec_id,
+           unnest(regexp_split_to_array(replace(housenumber, ',', ';'), ';')) AS p
+    FROM raw) t),
+expanded AS (
+  SELECT rec_id, unnest({expand}) AS housenumber FROM parts)
+SELECT rec_id, housenumber,
+       {housenumber_sortable_sql('housenumber')} AS hnr_sortable
+FROM expanded"""
+
+
+def associated_street_sql() -> str:
+    return f"""
+WITH mem AS (
+  SELECT rel_id, name, unnest(members) AS member_id FROM {relations_sql()} r),
+best AS (
+  SELECT member_id, rel_id, name FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY member_id ORDER BY rel_id) AS rn
+    FROM mem) t WHERE rn = 1)
+SELECT o.osm_id, o.street, b.name AS assoc_street,
+       COALESCE(b.name, o.street) AS effective_street, b.rel_id
+FROM {osm_sql()} o LEFT JOIN best b ON b.member_id = o.osm_id"""
+
+
+def _merge_ctes() -> str:
+    return f"""
+WITH base AS (
+  SELECT source_id, street, housenumber FROM {official_sql()} o),
+updates AS (
+  SELECT source_id, street,
+         CASE WHEN source_id % 10 = 0 THEN housenumber || 'x'
+              ELSE housenumber END AS housenumber
+  FROM base WHERE source_id % 13 <> 0
+  UNION ALL
+  SELECT source_id + 10000000 AS source_id, street, housenumber || 'n'
+  FROM base WHERE source_id % 17 = 0),
+diff AS (
+  SELECT COALESCE(b.source_id, u.source_id) AS source_id,
+         COALESCE(u.street, b.street) AS street,
+         COALESCE(u.housenumber, b.housenumber) AS housenumber,
+         CASE WHEN b.source_id IS NULL THEN 'insert'
+              WHEN u.source_id IS NULL THEN 'delete'
+              WHEN b.street IS DISTINCT FROM u.street
+                OR b.housenumber IS DISTINCT FROM u.housenumber THEN 'update'
+              ELSE 'unchanged' END AS action
+  FROM base b FULL OUTER JOIN updates u ON b.source_id = u.source_id)"""
+
+
+def merge_diff_sql() -> str:
+    return _merge_ctes() + "\nSELECT source_id, street, housenumber, action FROM diff"
+
+
+def merge_counters_sql() -> str:
+    return (
+        _merge_ctes()
+        + "\nSELECT action, COUNT(*) AS n_rows FROM diff GROUP BY action"
+    )
+
+
+def boundary_select_sql() -> str:
+    ags_raw = (
+        "CAST(n_nationkey % 16 AS VARCHAR) || ' ' || "
+        "CAST(n_nationkey % 10 AS VARCHAR) || ' 52'"
+    )
+    stripped = f"replace({ags_raw}, ' ', '')"
+    ags_norm = (
+        f"CASE WHEN length({stripped}) >= 8 THEN {stripped} "
+        f"ELSE rpad({stripped}, 8, '0') END"
+    )
+    return f"""
+WITH cand AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+         {ags_norm} AS ags_norm,
+         CAST(n_nationkey AS BIGINT) * 10 + i AS rel_id,
+         CAST(8 - (i % 4) * 2 AS INT) AS matched_key_len,
+         (i % 2 = 0) AS name_match,
+         CAST(4 + i AS INT) AS admin_level
+  FROM nation CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i) g)
+SELECT query_id, ags_norm, rel_id, matched_key_len, name_match, admin_level
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY matched_key_len DESC, name_match DESC, admin_level ASC,
+             rel_id ASC) AS rn
+  FROM cand) t
+WHERE rn = 1"""
+
+
+def josm_export_sql() -> str:
+    esc = (
+        "replace(replace(replace(replace(replace({v}, '&', '&amp;'), "
+        "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), '''', '&apos;')"
+    )
+    street = esc.format(v="(street || ' <&''\">')")
+    hnr = esc.format(v="housenumber")
+    pc = esc.format(v="('52' || lpad(CAST(source_id % 100 AS VARCHAR), 3, '0'))")
+    return f"""
+SELECT source_id,
+  '<node id=''-' || CAST(source_id AS VARCHAR) || ''' visible=''true'' lat=''' ||
+  printf('%.7f', 50.0 + (source_id % 777) / 1000.0) || ''' lon=''' ||
+  printf('%.7f', 6.0 + (source_id % 1000) / 1000.0) || '''>' ||
+  '<tag k=''addr:street'' v=''' || {street} || '''/>' ||
+  '<tag k=''addr:housenumber'' v=''' || {hnr} || '''/>' ||
+  '<tag k=''addr:postcode'' v=''' || {pc} || '''/>' ||
+  '</node>' AS xml
+FROM {official_sql()} o"""
+
+
+CENSUS_TILE_RES = 11
+
+
+def census_counters_sql() -> str:
+    from .geo.cells import cell_sql
+
+    tile = cell_sql("p.lon", "p.lat", CENSUS_TILE_RES)
+    return f"""
+SELECT a.area_id, COUNT(*) AS n_points,
+       CAST(SUM(CASE WHEN p.hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       COUNT(DISTINCT {tile}) AS n_tiles
+FROM {points_sql()} p JOIN {areas_sql()} a
+  ON p.lon >= a.xmin AND p.lon <= a.xmax AND p.lat >= a.ymin AND p.lat <= a.ymax
+GROUP BY a.area_id"""
+
+
+def stream_windowed_counts_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2"""
+
+
+def stream_sessions_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH m AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              >= INTERVAL {gap_minutes} MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM m)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       user_id, COUNT(*) AS n_events
+FROM g GROUP BY user_id, sess_id"""
 
 
 def knn_nearest_street_sql(k: int = 1) -> str:

@@ -209,6 +209,216 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.neardup_pairs(embeddings_df(spark, sf_dir))
 
 
+def hnr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4/O2: multi-value split + range expansion + sortable key over
+    raw official housenumber texts."""
+    from .norm import housenumbers as HN
+
+    raw = A.raw_housenumbers_df(spark, sf_dir)
+    out = HN.explode_housenumbers(raw)
+    return out.select(
+        "rec_id",
+        "housenumber",
+        HN.housenumber_sortable("housenumber").alias("hnr_sortable"),
+    )
+
+
+def associated_street(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: associatedStreet relation membership resolution."""
+    from .operators import relations as R
+    from .sources import relations_src as RS
+
+    objects = A.osm_df(spark, sf_dir).select("osm_id", "street")
+    rels = RS.relations_df(spark, sf_dir)
+    return R.resolve_associated_street(objects, rels).select(
+        "osm_id", "street", "assoc_street", "effective_street", "rel_id"
+    )
+
+
+def _merge_inputs(spark: SparkSession, sf_dir: str):
+    base = A.official_df(spark, sf_dir).select("source_id", "street", "housenumber")
+    sid = F.col("source_id")
+    upd_mod = base.filter(sid % 13 != 0).withColumn(
+        "housenumber",
+        F.when(sid % 10 == 0, F.concat("housenumber", F.lit("x"))).otherwise(
+            F.col("housenumber")
+        ),
+    )
+    upd_new = base.filter(sid % 17 == 0).select(
+        (sid + 10_000_000).alias("source_id"),
+        "street",
+        F.concat("housenumber", F.lit("n")).alias("housenumber"),
+    )
+    return base, upd_mod.unionByName(upd_new)
+
+
+def merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/S9: Workcache diff protocol as one full-outer merge."""
+    from .operators import merge as M
+
+    base, updates = _merge_inputs(spark, sf_dir)
+    return M.merge_actions(base, updates, ["source_id"], ["street", "housenumber"])
+
+
+def merge_action_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import merge as M
+
+    return M.merge_counters(merge_diff(spark, sf_dir))
+
+
+def boundary_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 + F5: AGS-normalized boundary candidate ranking."""
+    from .norm import names as NM
+    from .operators import boundaries as B
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    q = n.select(
+        F.col("n_nationkey").cast("long").alias("query_id"),
+        F.concat(
+            (F.col("n_nationkey") % 16).cast("string"),
+            F.lit(" "),
+            (F.col("n_nationkey") % 10).cast("string"),
+            F.lit(" 52"),
+        ).alias("ags_raw"),
+    )
+    i = F.col("id")
+    cand = q.crossJoin(
+        spark.range(6).select(
+            i.alias("i"),
+            (F.lit(8) - i % 4 * 2).alias("matched_key_len"),
+            (i % 2 == 0).alias("name_match"),
+            (F.lit(4) + i).cast("int").alias("admin_level"),
+        )
+    ).select(
+        "query_id",
+        NM.normalize_ags("ags_raw").alias("ags_norm"),
+        (F.col("query_id") * 10 + F.col("i")).alias("rel_id"),
+        F.col("matched_key_len").cast("int").alias("matched_key_len"),
+        "name_match",
+        "admin_level",
+    )
+    return B.best_boundary_candidate(cand)
+
+
+def josm_export_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/F14: JOSM .osm node strings with XML escaping."""
+    from .sources import export as EX
+
+    sid = F.col("source_id")
+    addrs = A.official_df(spark, sf_dir).select(
+        "source_id",
+        F.concat("street", F.lit(" <&'\">")).alias("street"),
+        "housenumber",
+        F.concat(F.lit("52"), F.lpad((sid % 100).cast("string"), 3, "0")).alias(
+            "postcode"
+        ),
+        (F.lit(6.0) + (sid % 1000) / F.lit(1000.0)).alias("lon"),
+        (F.lit(50.0) + (sid % 777) / F.lit(1000.0)).alias("lat"),
+    )
+    return EX.josm_export(addrs)
+
+
+def census_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-area census (points, hot points, distinct tiles)."""
+    from .operators import pip_join as PJ
+    from .sources import synthetic as S
+
+    pts = S.points_df(spark, sf_dir)
+    areas = S.areas_df(spark, sf_dir)
+    assigned = PJ.tile_assign(
+        PJ.assign_points_to_areas(spark, pts, areas), TILE_RES_CENSUS
+    )
+    return assigned.groupBy("area_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("hot").cast("int")).cast("long").alias("n_hot"),
+        F.countDistinct("tile_id").alias("n_tiles"),
+    )
+
+
+TILE_RES_CENSUS = 11
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windows as SW
+
+    return SW.run_stream_to_completion(spark, sf_dir)
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windows as SW
+
+    return SW.sessionize(spark, sf_dir)
+
+
+CSV_FIXTURE_VERSION = "v1"
+
+
+def _csv_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once) a deterministic German-headed ';'-separated CSV derived
+    from orders — the Aachen-fixture shape (SURVEY.md §5) — and return its
+    path. Synthesized on the driver; real deployments read existing files."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"{sf_dir}:{CSV_FIXTURE_VERSION}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"hns_list_{tag}.csv")
+    if os.path.exists(path):
+        return path
+    k = F.col("o_orderkey")
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            k.alias("fid"),
+            F.concat(F.lit("Strasse "), (k % 50).cast("string")).alias("Straße"),
+            (k % 200 + 1).cast("string").alias("Hausnummer"),
+            (52000 + k % 100).cast("string").alias("PLZ"),
+            F.concat(F.lit("Stadt "), (k % 5).cast("string")).alias("Gemeinde"),
+            (F.lit(6.0) + (k % 1000) / F.lit(1000.0)).alias("lon"),
+            (F.lit(50.0) + (k % 777) / F.lit(1000.0)).alias("lat"),
+            F.concat(F.lit("bk-"), (k % 7).cast("string")).alias("Bemerkung"),
+        )
+        .orderBy("fid")
+        .toPandas()
+    )
+    tmp = path + ".tmp"
+    pdf.to_csv(tmp, sep=";", index=False, encoding="utf-8-sig")
+    os.replace(tmp, path)
+    return path
+
+
+def csv_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end: sniff separator, strip BOM, infer multilingual
+    headers, pack unmatched columns as extra tags — checked value-for-value
+    against the oracle recomputing the same rows from orders."""
+    from .sources import csv_import as CI
+
+    df = CI.read_csv_addresses(spark, _csv_fixture_path(spark, sf_dir))
+    return df.select(
+        F.element_at("extraosmtags", "fid").cast("long").alias("source_id"),
+        "street",
+        "housenumber",
+        "postcode",
+        "municipality",
+        "lon",
+        "lat",
+        F.element_at("extraosmtags", "Bemerkung").alias("remark"),
+    )
+
+
+def csv_import_roundtrip_sql() -> str:
+    return """
+SELECT o_orderkey AS source_id,
+  'Strasse ' || CAST(o_orderkey % 50 AS VARCHAR) AS street,
+  CAST(o_orderkey % 200 + 1 AS VARCHAR) AS housenumber,
+  CAST(52000 + o_orderkey % 100 AS VARCHAR) AS postcode,
+  'Stadt ' || CAST(o_orderkey % 5 AS VARCHAR) AS municipality,
+  6.0 + (o_orderkey % 1000) / 1000.0 AS lon,
+  50.0 + (o_orderkey % 777) / 1000.0 AS lat,
+  'bk-' || CAST(o_orderkey % 7 AS VARCHAR) AS remark
+FROM orders"""
+
+
 KNN_RES = 8  # ring-1 at res 8 covers the whole synthetic world → exact kNN
 
 

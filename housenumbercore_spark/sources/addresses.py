@@ -111,6 +111,45 @@ def osm_sql() -> str:
     )
 
 
+def raw_housenumbers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw official-list housenumber texts exercising every normalization
+    path: ranges ("2-8"), multi-values ("1,3;5"), fraction additions
+    ("47 1/2"), suffixes, reversed/unparseable ranges (expand to nothing —
+    TheoreticalHousenumbers.Hausnummernbereich_aufloesen:292-316)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    s = (k % 40 + 2).cast("long")
+    ss = s.cast("string")
+    m = k % 7
+    hnr = (
+        F.when(m == 0, F.concat(ss, F.lit("-"), (s + 6).cast("string")))
+        .when(m == 1, F.concat(ss, F.lit(","), (s + 2).cast("string"),
+                               F.lit(";"), (s + 4).cast("string")))
+        .when(m == 2, F.concat(ss, F.lit(" 1/2")))
+        .when(m == 3, ss)
+        .when(m == 4, F.concat(ss, F.lit("a")))
+        .when(m == 5, F.concat((s + 6).cast("string"), F.lit("-"), ss))
+        .otherwise(F.concat(ss, F.lit("-"), (s + 3).cast("string"), F.lit("x")))
+    )
+    return p.select(k.alias("rec_id"), hnr.alias("housenumber"))
+
+
+def raw_housenumbers_sql() -> str:
+    k, s = "p_partkey", "(p_partkey % 40 + 2)"
+    ss = f"CAST({s} AS VARCHAR)"
+    hnr = (
+        f"CASE {k} % 7 "
+        f"WHEN 0 THEN {ss} || '-' || CAST({s} + 6 AS VARCHAR) "
+        f"WHEN 1 THEN {ss} || ',' || CAST({s} + 2 AS VARCHAR) || ';' || CAST({s} + 4 AS VARCHAR) "
+        f"WHEN 2 THEN {ss} || ' 1/2' "
+        f"WHEN 3 THEN {ss} "
+        f"WHEN 4 THEN {ss} || 'a' "
+        f"WHEN 5 THEN CAST({s} + 6 AS VARCHAR) || '-' || {ss} "
+        f"ELSE {ss} || '-' || CAST({s} + 3 AS VARCHAR) || 'x' END"
+    )
+    return f"(SELECT {k} AS rec_id, {hnr} AS housenumber FROM part)"
+
+
 def job_flags_df(spark: SparkSession) -> DataFrame:
     """Per-job housenumberaddition_exactly flag: even job → exact."""
     return spark.range(N_JOBS).select(

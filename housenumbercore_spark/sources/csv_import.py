@@ -1,0 +1,210 @@
+"""Config-driven CSV list importer — Spark-first parity with the
+reference's CsvReader (S1 in SURVEY.md §2.1).
+
+Reference behaviors re-expressed (NOT ported):
+- separator sniffing by frequency over the header line
+  (/root/reference/src/de/regioosm/housenumbercore/util/CsvReader.java:351-369)
+- UTF-8 BOM strip (CsvReader.java:346-350)
+- multilingual header inference mapping German/English/Italian/French
+  header names to logical fields (analyseHeaderline, CsvReader.java:191-297)
+- explicit positional column binding, ``-c 3=street``
+  (imports/CsvListImport.java:301-346)
+- unknown columns captured as OSM extra tags (``-cf``,
+  CsvListImport.java:347-360 → ``extraosmtags`` hstore)
+
+Spark design: the header is read ONCE on the driver from a tiny
+``spark.read.text().limit()`` sample (works on any Hadoop-visible store —
+no local-file assumption); everything row-shaped then flows through
+``spark.read.csv`` with an explicit separator + a select/alias layer, so
+the actual data path is a single distributed scan with column pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# candidate separators, tested by frequency in the header line
+# (CsvReader.java:351-369 counts occurrences and picks the most frequent)
+SEPARATORS = ("\t", ";", ",", "|")
+
+# logical field → lowercase header-name variants (multilingual subset of
+# analyseHeaderline, CsvReader.java:191-297)
+HEADER_VARIANTS: dict[str, tuple[str, ...]] = {
+    "street": (
+        "strasse", "straße", "str", "strassenname", "street", "streetname",
+        "via", "strada", "rue", "calle",
+    ),
+    "housenumber": (
+        "hausnummer", "hnr", "hausnr", "nummer", "housenumber", "number",
+        "civico", "numero", "nr",
+    ),
+    "housenumberaddition": (
+        "adresszusatz", "zusatz", "hausnummerzusatz", "addition", "suffix",
+        "esponente",
+    ),
+    "postcode": (
+        "plz", "postleitzahl", "postcode", "zip", "zipcode", "cap",
+        "code_postal", "codice_postale",
+    ),
+    "municipality": (
+        "gemeinde", "stadt", "ort", "city", "municipality", "town", "comune",
+        "commune", "localidad",
+    ),
+    "submunicipality": (
+        "ortsteil", "stadtteil", "suburb", "district", "frazione", "quartier",
+    ),
+    "municipality_ref": ("ags", "gemeindeschluessel", "officialkey", "lau"),
+    "lon": ("lon", "lng", "longitude", "x", "easting", "rechtswert"),
+    "lat": ("lat", "latitude", "y", "northing", "hochwert"),
+}
+
+LOGICAL_FIELDS = tuple(HEADER_VARIANTS)
+
+
+@dataclass
+class CsvImportParams:
+    """Subset of the reference's CsvImportparameter relevant to parsing."""
+
+    separator: str | None = None  # None → sniff
+    column_bindings: dict[int, str] = field(default_factory=dict)  # 0-based
+    tag_bindings: dict[int, str] = field(default_factory=dict)  # col → osm tag
+    encoding: str = "UTF-8"
+    srid: int = 4326
+
+
+def strip_bom(s: str) -> str:
+    return s.lstrip("﻿")
+
+
+def sniff_separator(header_line: str) -> str:
+    """Most frequent candidate separator in the header line."""
+    counts = {sep: header_line.count(sep) for sep in SEPARATORS}
+    best = max(counts, key=lambda s: counts[s])
+    return best if counts[best] > 0 else ","
+
+
+def infer_header_mapping(
+    headers: list[str], params: CsvImportParams | None = None
+) -> tuple[dict[str, int], dict[int, str]]:
+    """(logical field → column index, unmatched column index → tag name).
+
+    Explicit ``column_bindings`` win over name inference; remaining
+    unmatched columns become extra OSM tags (explicit ``tag_bindings`` name
+    them, others keep their header name).
+    """
+    params = params or CsvImportParams()
+    mapping: dict[str, int] = {}
+    claimed: set[int] = set()
+    for idx, logical in params.column_bindings.items():
+        mapping[logical] = idx
+        claimed.add(idx)
+    norm = [strip_bom(h).strip().lower().replace(" ", "_") for h in headers]
+    for logical, variants in HEADER_VARIANTS.items():
+        if logical in mapping:
+            continue
+        for i, h in enumerate(norm):
+            if i not in claimed and h in variants:
+                mapping[logical] = i
+                claimed.add(i)
+                break
+    tags = {
+        i: params.tag_bindings.get(i, headers[i].strip())
+        for i in range(len(headers))
+        if i not in claimed and headers[i].strip()
+    }
+    return mapping, tags
+
+
+def read_header(spark: SparkSession, path: str, params: CsvImportParams) -> tuple[str, list[str]]:
+    """Driver-side peek at the first line (distributed-store-safe)."""
+    first = strip_bom(spark.read.text(path).limit(1).collect()[0][0])
+    sep = params.separator or sniff_separator(first)
+    return sep, [h.strip() for h in first.split(sep)]
+
+
+def read_csv_addresses(
+    spark: SparkSession,
+    path: str,
+    params: CsvImportParams | None = None,
+) -> DataFrame:
+    """CSV → logical address DataFrame
+    ``(street, housenumber, housenumberaddition, postcode, municipality,
+    submunicipality, municipality_ref, lon, lat, extraosmtags)``.
+
+    Missing logical columns come out NULL; unmatched CSV columns are packed
+    into the ``extraosmtags`` map (the reference's hstore column,
+    dbstructure.sql:152).
+    """
+    params = params or CsvImportParams()
+    sep, headers = read_header(spark, path, params)
+    mapping, tags = infer_header_mapping(headers, params)
+
+    raw = (
+        spark.read.option("sep", sep)
+        .option("header", "true")
+        .option("encoding", params.encoding)
+        .csv(path)
+    )
+    cols = raw.columns  # spark's view of the header (post-BOM handling)
+
+    def col_at(i: int):
+        return F.col(f"`{cols[i]}`") if i < len(cols) else F.lit(None)
+
+    out = []
+    for logical in LOGICAL_FIELDS:
+        if logical in ("lon", "lat"):
+            c = (
+                col_at(mapping[logical]).cast("double")
+                if logical in mapping
+                else F.lit(None).cast("double")
+            )
+        else:
+            c = col_at(mapping[logical]) if logical in mapping else F.lit(None).cast("string")
+        out.append(c.alias(logical))
+    if tags:
+        pairs = []
+        for i, tag in sorted(tags.items()):
+            pairs.extend([F.lit(tag), col_at(i)])
+        extes = F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())
+    else:
+        extes = F.lit(None).cast("map<string,string>")
+    out.append(extes.alias("extraosmtags"))
+    df = raw.select(*out)
+
+    if params.srid != 4326:
+        df = _transform_coords(df, params.srid)
+    return df
+
+
+def _transform_coords(df: DataFrame, srid: int) -> DataFrame:
+    """CRS transform via the vectorized kernel (F7; EPSG:25832 zone hack
+    easting > 32e6 → −32e6, CsvReader.java:507-509)."""
+    import pandas as pd
+
+    from ..geo import crs as CRS
+
+    if srid == 25832:
+        df = df.withColumn(
+            "lon",
+            F.when(F.col("lon") > 32e6, F.col("lon") - 32e6).otherwise(F.col("lon")),
+        )
+
+    schema = df.schema
+
+    def gen(batches):
+        for pdf in batches:
+            x = pdf["lon"].to_numpy(dtype="float64")
+            y = pdf["lat"].to_numpy(dtype="float64")
+            if srid in (3857, 900913):
+                lon, lat = CRS.webmercator_to_wgs84(x, y)
+            elif 25828 <= srid <= 25838:
+                lon, lat = CRS.utm_to_wgs84(x, y, srid - 25800)
+            else:
+                raise ValueError(f"unsupported srid {srid}")
+            pdf = pdf.assign(lon=lon, lat=lat)
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
