@@ -170,6 +170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "census_counters": P.census_counters,
         "stream_windowed_counts": P.stream_windowed_counts,
         "stream_sessions": P.stream_sessions,
+        "suburb_assignment": P.suburb_assignment,
+        "boundary_union_centroid": P.boundary_union_centroid,
+        "crs_transform": P.crs_transform,
+        "import_rejects": P.import_rejects,
+        "resume_pending": P.resume_pending,
+        "sorted_street_list": P.sorted_street_list,
     }
 
 
@@ -200,6 +206,12 @@ def oracle_sql() -> dict[str, str]:
         "census_counters": O.census_counters_sql(),
         "stream_windowed_counts": O.stream_windowed_counts_sql(),
         "stream_sessions": O.stream_sessions_sql(),
+        "suburb_assignment": O.suburb_assignment_sql(),
+        "boundary_union_centroid": O.boundary_union_centroid_sql(),
+        "crs_transform": O.crs_transform_sql(),
+        "import_rejects": O.import_rejects_sql(),
+        "resume_pending": O.resume_pending_sql(),
+        "sorted_street_list": O.sorted_street_list_sql(),
         "text_token_stats": TO.token_stats_sql(),
         "text_quality": TO.quality_sql(),
         "text_lang_id": TO.lang_id_sql(),

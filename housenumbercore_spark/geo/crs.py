@@ -80,6 +80,35 @@ def utm_to_wgs84(e: np.ndarray, n: np.ndarray, zone: int) -> tuple[np.ndarray, n
     return np.degrees(lon_rel) + np.degrees(lon0), np.degrees(lat)
 
 
+def with_wgs84(df, x_col: str, y_col: str, srid_col: str):
+    """F7 as a DataFrame op: append `lon`/`lat` WGS84 columns from per-row
+    (x, y, srid) — the engine path for `ST_Transform(ST_SetSRID(
+    ST_MakePoint(lon,lat),srid),4326)` (HousenumberList.java:262).
+
+    One Arrow-batched pandas UDF; inside the batch each distinct SRID is
+    transformed as a vectorized numpy slice (mixed-SRID imports are the
+    norm: the reference reads the SRID per CSV row, CsvReader.java:500-527).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _transform(x, y, srid):
+        xv = x.to_numpy(dtype=np.float64)
+        yv = y.to_numpy(dtype=np.float64)
+        lon = np.empty_like(xv)
+        lat = np.empty_like(yv)
+        for s in pd.unique(srid):
+            m = (srid == s).to_numpy()
+            lon[m], lat[m] = transform_to_wgs84(xv[m], yv[m], int(s))
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    transform_udf = F.pandas_udf(_transform, "struct<lon:double,lat:double>")
+    out = df.withColumn("__t", transform_udf(x_col, y_col, srid_col))
+    return out.withColumns(
+        {"lon": out["__t.lon"], "lat": out["__t.lat"]}
+    ).drop("__t")
+
+
 def transform_to_wgs84(
     x: np.ndarray, y: np.ndarray, srid: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -293,6 +293,95 @@ SELECT MIN(ts) AS session_start,
 FROM g GROUP BY user_id, sess_id"""
 
 
+SUBURB_BUFFER_DEG = 0.03
+
+
+def suburb_assignment_sql() -> str:
+    b = SUBURB_BUFFER_DEG
+    return f"""
+WITH a AS (SELECT * FROM {areas_sql()} t)
+SELECT s.area_id AS suburb_id, s.name AS suburb_name,
+       d.area_id AS district_id, d.name AS district_name
+FROM a s JOIN a d
+  ON s.admin_level = 8 AND d.admin_level = 6
+ AND s.xmin >= d.xmin - {b!r} AND s.xmax <= d.xmax + {b!r}
+ AND s.ymin >= d.ymin - {b!r} AND s.ymax <= d.ymax + {b!r}"""
+
+
+def boundary_union_centroid_sql() -> str:
+    return f"""
+SELECT CAST(area_id AS BIGINT) AS rel_id, CAST(4 AS BIGINT) AS n_parts,
+       ROUND((xmax - xmin) * (ymax - ymin), 6) AS area_deg2,
+       ROUND((xmin + xmax) / 2, 6) AS centroid_lon,
+       ROUND((ymin + ymax) / 2, 6) AS centroid_lat
+FROM {areas_sql()} a WHERE admin_level = 8"""
+
+
+def crs_transform_sql() -> str:
+    r = 6378137.0
+    k = "o_orderkey"
+    wm = f"({k} % 4) <> 0"
+    x = f"CASE WHEN {wm} THEN ({k} % 4001 - 2000) * 1000.0 ELSE ({k} % 360) - 180 + 0.25 END"
+    y = f"CASE WHEN {wm} THEN ({k} % 2001) * 1000.0 + 5500000.0 ELSE ({k} % 170) - 85 + 0.25 END"
+    return f"""
+WITH raw AS (
+  SELECT {k} AS rec_id, {x} AS x, {y} AS y,
+         CAST(CASE WHEN {wm} THEN 3857 ELSE 4326 END AS INT) AS srid
+  FROM orders)
+SELECT rec_id, srid,
+  ROUND(CASE WHEN srid = 3857 THEN degrees(x / {r!r}) ELSE x END, 7) AS lon,
+  ROUND(CASE WHEN srid = 3857
+             THEN degrees(2 * atan(exp(y / {r!r})) - pi() / 2)
+             ELSE y END, 7) AS lat
+FROM raw"""
+
+
+def import_rejects_sql() -> str:
+    return f"""
+WITH damaged AS (
+  SELECT source_id,
+         CASE WHEN source_id % 23 = 0 THEN NULL ELSE street END AS street,
+         CASE WHEN source_id % 29 = 0 THEN '' ELSE housenumber END AS housenumber
+  FROM {official_sql()} o)
+SELECT source_id,
+       CASE WHEN street IS NULL OR trim(street) = '' THEN 'missing_street'
+            ELSE 'missing_housenumber' END AS reason
+FROM damaged
+WHERE street IS NULL OR trim(street) = ''
+   OR housenumber IS NULL OR trim(housenumber) = ''"""
+
+
+def resume_pending_sql(startdate: int = 4) -> str:
+    return f"""
+WITH jobs AS (SELECT CAST(range AS BIGINT) AS job_id FROM range(25)),
+results AS (
+  SELECT job_id, job_id % 7 AS result_day FROM jobs WHERE job_id % 3 <> 1)
+SELECT job_id FROM jobs j
+WHERE NOT EXISTS (
+  SELECT 1 FROM results r
+  WHERE r.job_id = j.job_id AND r.result_day >= {startdate})"""
+
+
+def sorted_street_list_sql() -> str:
+    from .norm.names import correctorder_sql
+
+    base = (
+        "CASE p_partkey % 8 WHEN 0 THEN 'Ährenweg' WHEN 1 THEN 'Übergasse' "
+        "WHEN 2 THEN 'Öhrstraße' WHEN 3 THEN 'Bachgasse' WHEN 4 THEN 'Zum Loch' "
+        "WHEN 5 THEN 'Ängerweg' WHEN 6 THEN 'Straßburger Allee' "
+        "ELSE 'Am Hang' END"
+    )
+    return f"""
+WITH streets AS (
+  SELECT DISTINCT {base} || ' ' || CAST(p_partkey % 50 AS VARCHAR) AS street
+  FROM part),
+keyed AS (
+  SELECT street, {correctorder_sql('street')} AS sort_key FROM streets)
+SELECT street, sort_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY sort_key) AS INT) AS street_rank
+FROM keyed"""
+
+
 def knn_nearest_street_sql(k: int = 1) -> str:
     dist = distance_m_sql("p.lon", "p.lat", "t.slon", "t.slat")
     return f"""

@@ -419,6 +419,155 @@ SELECT o_orderkey AS source_id,
 FROM orders"""
 
 
+SUBURB_BUFFER_DEG = 0.03  # MunicipalityArea.java:684: ST_Buffer(poly, 0.03)
+
+
+def suburb_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: which district (admin_level 6) does each municipality polygon
+    (admin_level 8) sit in, with the reference's 0.03° tolerance buffer."""
+    from .operators import boundaries as B
+    from .sources import synthetic as S
+
+    areas = S.areas_df(spark, sf_dir)
+    suburbs = areas.filter(F.col("admin_level") == 8)
+    districts = areas.filter(F.col("admin_level") == 6)
+    return B.suburbs_within_buffered(suburbs, districts, SUBURB_BUFFER_DEG)
+
+
+def _boundary_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each municipality box split into its 4 quadrant boxes = the members
+    of one admin boundary relation (deterministic, SQL-recomputable)."""
+    from .geo import geometry as G
+    from .sources import synthetic as S
+
+    quads = spark.range(4).select(F.col("id").alias("q"))
+    m = S.areas_df(spark, sf_dir, with_wkb=False).filter(F.col("admin_level") == 8)
+    half_w = (F.col("xmax") - F.col("xmin")) / 2
+    half_h = (F.col("ymax") - F.col("ymin")) / 2
+    parts = m.crossJoin(F.broadcast(quads)).select(
+        F.col("area_id").alias("rel_id"),
+        (F.col("xmin") + (F.col("q") % 2) * half_w).alias("pxmin"),
+        (F.col("ymin") + F.floor(F.col("q") / 2) * half_h).alias("pymin"),
+        (F.col("xmin") + (F.col("q") % 2) * half_w + half_w).alias("pxmax"),
+        (F.col("ymin") + F.floor(F.col("q") / 2) * half_h + half_h).alias("pymax"),
+    )
+    box = F.udf(lambda a, b, c, d: G.box_wkb(a, b, c, d), "binary")
+    return parts.withColumn(
+        "part_wkb", box("pxmin", "pymin", "pxmax", "pymax")
+    ).select("rel_id", "part_wkb")
+
+
+def boundary_union_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + A8: per-relation part union → n_parts, area, centroid (rounded
+    so Spark-geometry and oracle-arithmetic float paths agree exactly)."""
+    from .operators import boundaries as B
+
+    stats = B.polygon_union_stats(_boundary_parts(spark, sf_dir))
+    return stats.select(
+        "rel_id",
+        "n_parts",
+        F.round("area_deg2", 6).alias("area_deg2"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+    )
+
+
+def crs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: mixed-SRID import coordinates → WGS84 via the vectorized
+    transform (web-mercator rows inverted, 4326 rows passed through)."""
+    from .geo import crs as CRS
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    is_wm = (k % 4) != 0
+    raw = o.select(
+        k.alias("rec_id"),
+        F.when(is_wm, (k % 4001 - 2000) * F.lit(1000.0)).otherwise(
+            (k % 360) - 180 + 0.25
+        ).alias("x"),
+        F.when(is_wm, (k % 2001) * F.lit(1000.0) + 5.5e6).otherwise(
+            (k % 170) - 85 + 0.25
+        ).alias("y"),
+        F.when(is_wm, 3857).otherwise(4326).cast("int").alias("srid"),
+    )
+    out = CRS.with_wgs84(raw, "x", "y", "srid")
+    return out.select(
+        "rec_id",
+        "srid",
+        F.round("lon", 7).alias("lon"),
+        F.round("lat", 7).alias("lat"),
+    )
+
+
+def import_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: completeness filter side-output — rows missing street or
+    housenumber land in a rejects table with the reason (CsvReader.java:
+    531-542 logs them; TheoreticalHousenumbers.java:911-924 skips them)."""
+    damaged = A.official_df(spark, sf_dir).select(
+        "source_id",
+        F.when(F.col("source_id") % 23 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("street"))
+        .alias("street"),
+        F.when(F.col("source_id") % 29 == 0, F.lit(""))
+        .otherwise(F.col("housenumber"))
+        .alias("housenumber"),
+    )
+    reason = F.when(
+        F.col("street").isNull() | (F.trim("street") == ""), "missing_street"
+    ).when(
+        F.col("housenumber").isNull() | (F.trim("housenumber") == ""),
+        "missing_housenumber",
+    )
+    return (
+        damaged.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select("source_id", "reason")
+    )
+
+
+RESUME_STARTDATE = 4  # jobs with result_day >= this are "fresh" (P11)
+
+
+def resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: already-evaluated skip — jobs whose stored evaluation is fresh
+    are dropped via a left-anti join against the results table
+    (TheoreticalHousenumbers.java:801-812 re-queries per municipality)."""
+    jobs = A.job_flags_df(spark).select("job_id")
+    results = (
+        jobs.filter(F.col("job_id") % 3 != 1)
+        .withColumn("result_day", F.col("job_id") % 7)
+    )
+    fresh = results.filter(F.col("result_day") >= RESUME_STARTDATE)
+    return jobs.join(F.broadcast(fresh), "job_id", "left_anti")
+
+
+def sorted_street_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + O3: distinct street names ordered by the locale-folding
+    `correctorder` key (dbfunctions.sql:15-19) with a deterministic rank.
+    Dimension-scale output (a municipality's street list), so the single
+    global window is fine."""
+    from .norm import names as NM
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    base = (
+        F.when(k % 8 == 0, "Ährenweg")
+        .when(k % 8 == 1, "Übergasse")
+        .when(k % 8 == 2, "Öhrstraße")
+        .when(k % 8 == 3, "Bachgasse")
+        .when(k % 8 == 4, "Zum Loch")
+        .when(k % 8 == 5, "Ängerweg")
+        .when(k % 8 == 6, "Straßburger Allee")
+        .otherwise("Am Hang")
+    )
+    streets = p.select(
+        F.concat(base, F.lit(" "), (k % 50).cast("string")).alias("street")
+    ).distinct()
+    keyed = streets.withColumn("sort_key", NM.correctorder("street"))
+    w = W.orderBy("sort_key")
+    return keyed.withColumn("street_rank", F.row_number().over(w).cast("int"))
+
+
 KNN_RES = 8  # ring-1 at res 8 covers the whole synthetic world → exact kNN
 
 

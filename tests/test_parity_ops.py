@@ -20,6 +20,12 @@ QUERIES = [
     "census_counters",
     "stream_windowed_counts",
     "stream_sessions",
+    "suburb_assignment",
+    "boundary_union_centroid",
+    "crs_transform",
+    "import_rejects",
+    "resume_pending",
+    "sorted_street_list",
 ]
 
 
