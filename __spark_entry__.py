@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_rejects": P.import_rejects,
         "resume_pending": P.resume_pending,
         "sorted_street_list": P.sorted_street_list,
+        "image_resize_stats": P.image_resize_stats,
+        "video_frame_sample": P.video_frame_sample,
+        "audio_feature_stats": P.audio_feature_stats,
     }
 
 
@@ -193,7 +196,10 @@ def oracle_sql() -> dict[str, str]:
     from housenumbercore_spark.text import oracles as TO
     from housenumbercore_spark.vectors import oracles as VO
 
-    from housenumbercore_spark.pipelines import csv_import_roundtrip_sql
+    from housenumbercore_spark.pipelines import (
+        csv_import_roundtrip_sql,
+        video_frame_sample_sql,
+    )
 
     return {
         "csv_import_roundtrip": csv_import_roundtrip_sql(),
@@ -212,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "import_rejects": O.import_rejects_sql(),
         "resume_pending": O.resume_pending_sql(),
         "sorted_street_list": O.sorted_street_list_sql(),
+        "video_frame_sample": video_frame_sample_sql(),
         "text_token_stats": TO.token_stats_sql(),
         "text_quality": TO.quality_sql(),
         "text_lang_id": TO.lang_id_sql(),

@@ -155,6 +155,89 @@ def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# resize (nearest-index resample — deterministic, library-free; swap for a
+# real interpolating resampler where PIL/opencv exist, same call site)
+# ---------------------------------------------------------------------------
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """(h, w, 3) uint8 → (out_h, out_w, 3) by nearest-index sampling.
+    For integer downscale factors this picks exact source pixels
+    (row/col k maps to source index k*h//out_h)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return px[np.ix_(yi, xi)]
+
+
+# ---------------------------------------------------------------------------
+# video container — frames of any supported image fmt packed in one binary
+# column (VID1 magic, frame count, length table, concatenated payloads).
+# A deterministic stand-in for a real container/codec (mp4/av1): the
+# Spark-side plumbing (binary column, mapInPandas batch shape, per-frame
+# explode) is the production shape; only the byte format is simplified.
+# ---------------------------------------------------------------------------
+
+VID_MAGIC = b"VID1"
+
+
+def pack_video(frames: list[bytes]) -> bytes:
+    head = VID_MAGIC + struct.pack(">I", len(frames))
+    lens = struct.pack(f">{len(frames)}I", *[len(f) for f in frames])
+    return head + lens + b"".join(frames)
+
+
+def unpack_video(buf: bytes) -> list[bytes]:
+    if buf[:4] != VID_MAGIC:
+        raise ValueError("not a VID1 container")
+    (n,) = struct.unpack_from(">I", buf, 4)
+    lens = struct.unpack_from(f">{n}I", buf, 8)
+    off = 8 + 4 * n
+    out = []
+    for ln in lens:
+        out.append(buf[off : off + ln])
+        off += ln
+    return out
+
+
+# ---------------------------------------------------------------------------
+# audio — 16-bit mono PCM container (AUD1 magic, sample rate, zlib samples).
+# Deterministic fake of a real audio codec: decode of real-world formats
+# (mp3/flac/opus) needs an audio library absent from this environment —
+# route those through decode_audio_external below.
+# ---------------------------------------------------------------------------
+
+AUD_MAGIC = b"AUD1"
+
+
+def encode_pcm(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    s = np.asarray(samples)
+    if s.dtype != np.int16:
+        s = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+        s = (s * 32767.0).astype(np.int16)
+    return AUD_MAGIC + struct.pack(">I", sample_rate) + zlib.compress(s.tobytes(), 6)
+
+
+def decode_pcm(buf: bytes) -> tuple[np.ndarray, int]:
+    if buf[:4] != AUD_MAGIC:
+        raise ValueError("not an AUD1 payload")
+    (rate,) = struct.unpack_from(">I", buf, 4)
+    return np.frombuffer(zlib.decompress(buf[8:]), dtype=np.int16), rate
+
+
+def decode_audio_external(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """STUB — decoding real audio formats (mp3/flac/opus/wav) requires an
+    audio library (soundfile/librosa/ffmpeg) that is not available in this
+    environment. The Spark-side plumbing (binary column in, (samples, rate)
+    out, Arrow batching) is exercised through the AUD1/PCM path above; swap
+    this single dispatch point for a real decoder in production."""
+    raise NotImplementedError(
+        f"decode_audio_external({fmt}): no audio codec library in this "
+        "environment — use AUD1/PCM payloads or plug a real decoder here"
+    )
+
+
+# ---------------------------------------------------------------------------
 # metrics
 # ---------------------------------------------------------------------------
 

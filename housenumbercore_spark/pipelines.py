@@ -568,6 +568,67 @@ def sorted_street_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.withColumn("street_rank", F.row_number().over(w).cast("int"))
 
 
+N_MM_IMAGES = 400
+RESIZE_W, RESIZE_H = 8, 8
+N_VIDEOS, N_FRAMES, FRAME_EVERY = 60, 12, 5
+N_AUDIO = 80
+
+
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: decode → resample → re-encode, then gate
+    (dims correct, captions byte-equal). Rows-only check (binary codecs);
+    exact pixel semantics tested in tests/test_images.py."""
+    from .images import transform as TR
+    from .sources import images as IMG
+
+    src = IMG.images_df(spark, N_MM_IMAGES)
+    resized = TR.resize_images(src, RESIZE_W, RESIZE_H)
+    dec = resized.join(
+        src.select("image_id", F.col("caption").alias("src_caption")), "image_id"
+    )
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            ((F.col("w") == RESIZE_W) & (F.col("h") == RESIZE_H)).cast("int")
+        ).alias("n_dim_ok"),
+        F.sum((F.col("caption") == F.col("src_caption")).cast("int")).alias(
+            "n_caption_ok"
+        ),
+    )
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the VID1 container column; the kept (video_id,
+    frame_idx, w, h) set is SQL-recomputable, so the oracle verifies the
+    sampling logic while the engine really unpacks and decodes frames."""
+    from .images import transform as TR
+    from .sources import images as IMG
+
+    vids = IMG.videos_df(spark, N_VIDEOS, N_FRAMES)
+    return TR.frame_sample(vids, FRAME_EVERY).select(
+        "video_id", "frame_idx", "w", "h"
+    )
+
+
+def video_frame_sample_sql() -> str:
+    from .sources.images import IMG_H, IMG_W
+
+    idxs = ", ".join(f"({i})" for i in range(0, N_FRAMES, FRAME_EVERY))
+    return f"""
+SELECT 'vid' || lpad(CAST(v AS VARCHAR), 8, '0') AS video_id,
+       CAST(f.frame_idx AS INT) AS frame_idx,
+       CAST({IMG_W} AS INT) AS w, CAST({IMG_H} AS INT) AS h
+FROM range({N_VIDEOS}) t(v) CROSS JOIN (VALUES {idxs}) f(frame_idx)"""
+
+
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over PCM payloads (rows-only: float DSP)."""
+    from .images import transform as TR
+    from .sources import images as IMG
+
+    return TR.audio_features(IMG.audio_df(spark, N_AUDIO))
+
+
 KNN_RES = 8  # ring-1 at res 8 covers the whole synthetic world → exact kNN
 
 

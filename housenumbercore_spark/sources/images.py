@@ -88,3 +88,80 @@ def images_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in SCHEMA.fields])
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, SCHEMA)
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+    ]
+)
+
+
+def videos_df(
+    spark: SparkSession, n: int, n_frames: int = 12, partitions: int = 4
+) -> DataFrame:
+    """Deterministic video table: video v's frame f is image pattern
+    ``v * 1000 + f`` packed into one VID1 binary column."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["id"].values:
+                v = int(v)
+                frames = [
+                    codec.encode_image(make_pixels(v * 1000 + f), "png")
+                    for f in range(n_frames)
+                ]
+                rows.append(
+                    (
+                        f"vid{v:08d}",
+                        codec.pack_video(frames),
+                        n_frames,
+                        "vid1",
+                        make_caption(v),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, VIDEO_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+    ]
+)
+
+AUDIO_RATE = 16000
+
+
+def audio_df(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Deterministic audio table: clip i is a sine at (220 + i*7) Hz with
+    amplitude (0.2 + (i%8)/10), (0.5 + i%4/4) seconds, PCM-packed."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                dur = 0.5 + (i % 4) / 4
+                t = np.arange(int(AUDIO_RATE * dur)) / AUDIO_RATE
+                x = (0.2 + (i % 8) / 10) * np.sin(2 * np.pi * (220 + i * 7) * t)
+                rows.append(
+                    (
+                        f"aud{i:08d}",
+                        codec.encode_pcm(x, AUDIO_RATE),
+                        "pcm",
+                        make_caption(i),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, AUDIO_SCHEMA)

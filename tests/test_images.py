@@ -117,3 +117,60 @@ class TestImagesTable:
         joined = stats.join(images.select("image_id", "phash"), "image_id")
         bad = joined.filter(F.col("phash") != F.col("phash_recomputed")).count()
         assert bad == 0
+
+
+class TestMultimodalTransforms:
+    def test_resize_nearest_exact_downscale(self):
+        px = IMG.make_pixels(13)
+        rs = codec.resize_nearest(px, 8, 8)
+        assert rs.shape == (8, 8, 3)
+        assert (rs == px[::2, ::2]).all()
+
+    def test_resize_images_spark(self, spark):
+        from housenumbercore_spark.images import transform as TR
+
+        src = IMG.images_df(spark, 20)
+        out = TR.resize_images(src, 8, 8).collect()
+        assert len(out) == 20
+        for r in out:
+            dec = codec.decode_image(bytes(r.bytes))
+            assert dec.shape == (8, 8, 3)
+            i = int(r.image_id[3:])
+            if r.fmt == "png":  # lossless: exact nearest-sample parity
+                assert (dec == IMG.make_pixels(i)[::2, ::2]).all()
+            else:
+                assert codec.psnr(dec, IMG.make_pixels(i)[::2, ::2]) >= 40.0
+            assert r.caption == IMG.make_caption(i)
+
+    def test_video_pack_unpack(self):
+        frames = [codec.encode_png(IMG.make_pixels(i)) for i in range(5)]
+        assert codec.unpack_video(codec.pack_video(frames)) == frames
+
+    def test_frame_sample_spark(self, spark):
+        from housenumbercore_spark.images import transform as TR
+
+        vids = IMG.videos_df(spark, 6, n_frames=12)
+        out = TR.frame_sample(vids, 5).collect()
+        assert len(out) == 6 * 3  # frames 0, 5, 10
+        for r in out:
+            v = int(r.video_id[3:])
+            px = codec.decode_image(bytes(r.frame_bytes))
+            assert (px == IMG.make_pixels(v * 1000 + r.frame_idx)).all()
+            assert (r.w, r.h) == (IMG.IMG_W, IMG.IMG_H)
+
+    def test_audio_features_spark(self, spark):
+        from housenumbercore_spark.images import transform as TR
+
+        feats = {r.audio_id: r for r in TR.audio_features(IMG.audio_df(spark, 8)).collect()}
+        assert len(feats) == 8
+        for i in range(8):
+            r = feats[f"aud{i:08d}"]
+            amp = 0.2 + (i % 8) / 10
+            assert r.sample_rate == IMG.AUDIO_RATE
+            assert abs(r.duration_s - (0.5 + (i % 4) / 4)) < 1e-6
+            assert abs(r.rms - amp / np.sqrt(2)) < 0.01
+            assert 0 < r.zero_cross_rate < 0.2
+
+    def test_audio_external_stub(self):
+        with pytest.raises(NotImplementedError):
+            codec.decode_audio_external(b"ID3...", "mp3")
