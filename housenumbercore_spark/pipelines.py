@@ -451,9 +451,10 @@ def _boundary_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("xmin") + (F.col("q") % 2) * half_w + half_w).alias("pxmax"),
         (F.col("ymin") + F.floor(F.col("q") / 2) * half_h + half_h).alias("pymax"),
     )
-    box = F.udf(lambda a, b, c, d: G.box_wkb(a, b, c, d), "binary")
+    from .sources.synthetic import box_wkb_udf
+
     return parts.withColumn(
-        "part_wkb", box("pxmin", "pymin", "pxmax", "pymax")
+        "part_wkb", box_wkb_udf()("pxmin", "pymin", "pxmax", "pymax")
     ).select("rel_id", "part_wkb")
 
 

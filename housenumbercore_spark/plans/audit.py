@@ -1,0 +1,65 @@
+"""Physical-plan audit: assert the plans we want, not just the results.
+
+The engine's scale contract (SURVEY.md §4) is carried by physical-design
+choices — broadcast the dims, keep Python off the fact path, prune scans,
+bound shuffles. This module turns those choices into testable properties by
+parsing `df.explain("formatted")` output:
+
+- ``n_shuffles``           count of Exchange operators (AQE reuse excluded)
+- ``n_broadcast_joins``    BroadcastHashJoin / BroadcastNestedLoopJoin
+- ``n_sortmerge_joins``    SortMergeJoin occurrences
+- ``has_batch_eval_python``row-at-a-time Python (the slow path — should be 0)
+- ``n_arrow_eval``         Arrow-batched Python stages (refine UDFs only)
+- ``wholestage_codegen``   whether any WholeStageCodegen span exists
+- ``pushed_filters``       parquet scans with non-empty PushedFilters
+- ``read_schemas``         column lists actually read per parquet scan
+  (column-pruning evidence: a 2-column projection must not read 16 columns)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def simple_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def audit_plan(df: DataFrame) -> dict:
+    plan = formatted_plan(df)
+    simple = simple_plan(df)
+    read_schemas = [
+        m.group(1) for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    pushed = [
+        m.group(1).strip()
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
+    ]
+    return {
+        "n_shuffles": len(re.findall(r"\bExchange\b", plan)),
+        "n_broadcast_joins": len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", plan)),
+        "n_sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "has_batch_eval_python": "BatchEvalPython" in plan,
+        "n_arrow_eval": len(re.findall(r"ArrowEvalPython|MapInPandas", plan)),
+        # simple mode prints codegen'd operators as "*(n) Op"
+        "wholestage_codegen": "WholeStageCodegen" in plan or "*(" in simple,
+        "pushed_filters": [p for p in pushed if p],
+        "read_schemas": [
+            [c.split(":")[0] for c in s.split(",") if c] for s in read_schemas
+        ],
+        "plan": plan,
+    }

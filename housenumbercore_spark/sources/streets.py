@@ -67,9 +67,17 @@ def street_segments_df(spark: SparkSession, sf_dir: str, with_wkb: bool = False)
     )
     out = seg1.unionByName(seg2)
     if with_wkb:
-        mk = F.udf(
-            lambda a, b, c, d: G.linestring_wkb([[a, b], [c, d]]), "binary"
-        )  # dimension-scale table only
+        import pandas as pd
+
+        def _mk(x0, y0, x1, y1):
+            return pd.Series(
+                [
+                    G.linestring_wkb([[a, b], [c, d]])
+                    for a, b, c, d in zip(x0, y0, x1, y1)
+                ]
+            )
+
+        mk = F.pandas_udf(_mk, "binary")  # dimension-scale table only
         out = out.withColumn("linestring", mk("x0", "y0", "x1", "y1"))
     return out
 

@@ -108,11 +108,26 @@ def areas_df(spark: SparkSession, sf_dir: str, with_wkb: bool = True) -> DataFra
     )
     out = muni.unionByName(dist)
     if with_wkb:
-        box = F.udf(
-            lambda a, b, c, d: G.box_wkb(a, b, c, d), "binary"
+        out = out.withColumn(
+            "polygon", box_wkb_udf()("xmin", "ymin", "xmax", "ymax")
         )  # dimension-side only: 30 rows, never on the fact path
-        out = out.withColumn("polygon", box("xmin", "ymin", "xmax", "ymax"))
     return out
+
+
+def box_wkb_udf():
+    """Arrow-batched rectangle→WKB constructor (keeps even dim-side plans
+    free of row-at-a-time BatchEvalPython)."""
+    import pandas as pd
+
+    def _box(xmin, ymin, xmax, ymax):
+        return pd.Series(
+            [
+                G.box_wkb(a, b, c, d)
+                for a, b, c, d in zip(xmin, ymin, xmax, ymax)
+            ]
+        )
+
+    return F.pandas_udf(_box, "binary")
 
 
 def areas_sql() -> str:

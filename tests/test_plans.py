@@ -1,0 +1,69 @@
+"""Physical-plan property tests: the scale contract, asserted.
+
+Correctness tests prove the operators compute the right rows; these prove
+the plans would survive a 100× scale-up — dims broadcast, Python off the
+fact path, scans pruned, shuffles bounded.
+"""
+
+from __future__ import annotations
+
+from housenumbercore_spark.plans import audit_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    import __spark_entry__ as E
+
+    return E.queries()[name]
+
+
+def test_flagship_plan_broadcast_no_python(spark):
+    df = _q("pip_count_per_area")(spark, SF)
+    df.collect()  # execute THIS plan so AQE finalizes and codegen shows
+    a = audit_plan(df)
+    assert a["n_broadcast_joins"] >= 1, "area dim must broadcast"
+    assert a["n_sortmerge_joins"] == 0, "no shuffle join on the fact path"
+    assert not a["has_batch_eval_python"], "no row-at-a-time Python"
+    assert a["wholestage_codegen"]
+
+
+def test_flagship_scan_prunes_columns(spark):
+    a = audit_plan(_q("pip_assignments")(spark, SF))
+    for cols in a["read_schemas"]:
+        # orders.parquet has 9 columns; the point source needs only the key
+        assert len(cols) <= 2, f"scan reads too many columns: {cols}"
+    assert not a["has_batch_eval_python"]
+
+
+def test_match_eval_broadcasts_flag_dim(spark):
+    a = audit_plan(_q("match_evaluation")(spark, SF))
+    assert a["n_broadcast_joins"] >= 2, "job-flag dim joins must broadcast"
+    assert not a["has_batch_eval_python"]
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderkey") % 1 == 0)
+        .filter(F.col("o_orderpriority") == "5-LOW")
+        .select("o_orderkey")
+    )
+    a = audit_plan(df)
+    assert any("o_orderpriority" in p for p in a["pushed_filters"]), a[
+        "pushed_filters"
+    ]
+
+
+def test_knn_no_cartesian_no_python_rows(spark):
+    a = audit_plan(_q("knn_nearest_street")(spark, SF))
+    assert not a["has_batch_eval_python"]
+    # candidate generation is a cell equi-join, not a cross join
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_dedup_minhash_plan_shape(spark):
+    a = audit_plan(_q("dedup_minhash_pairs")(spark, SF))
+    assert not a["has_batch_eval_python"]
