@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_rejects": P.import_rejects,
         "resume_pending": P.resume_pending,
         "sorted_street_list": P.sorted_street_list,
+        "lu_commune_lookup": P.lu_commune_lookup,
         "image_resize_stats": P.image_resize_stats,
         "video_frame_sample": P.video_frame_sample,
         "audio_feature_stats": P.audio_feature_stats,
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
 
     from housenumbercore_spark.pipelines import (
         csv_import_roundtrip_sql,
+        lu_commune_lookup_sql,
         video_frame_sample_sql,
     )
 
@@ -219,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_pending": O.resume_pending_sql(),
         "sorted_street_list": O.sorted_street_list_sql(),
         "video_frame_sample": video_frame_sample_sql(),
+        "lu_commune_lookup": lu_commune_lookup_sql(),
         "text_token_stats": TO.token_stats_sql(),
         "text_quality": TO.quality_sql(),
         "text_lang_id": TO.lang_id_sql(),

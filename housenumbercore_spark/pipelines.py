@@ -569,6 +569,43 @@ def sorted_street_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.withColumn("street_rank", F.row_number().over(w).cast("int"))
 
 
+def lu_commune_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: broadcast locality→commune substitution for LU rows."""
+    from .sources import lu_communes as LU
+
+    n = len(LU.LU_COMMUNES)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    subs = F.array(*[F.lit(s) for s, _ in LU.LU_COMMUNES])
+    raw = c.select(
+        k.alias("source_id"),
+        F.when(k % 3 == 0, "DE").otherwise("LU").alias("country"),
+        F.element_at(subs, (k % n + 1).cast("int")).alias("subarea"),
+        F.concat(F.lit("Ort "), (k % 7).cast("string")).alias("municipality"),
+    )
+    out = LU.apply_lu_commune(raw, LU.lu_commune_df(spark))
+    return out.select("source_id", "country", "subarea", "municipality")
+
+
+def lu_commune_lookup_sql() -> str:
+    from .sources import lu_communes as LU
+
+    n = len(LU.LU_COMMUNES)
+    subs = ", ".join(f"'{s}'" for s, _ in LU.LU_COMMUNES)
+    return f"""
+WITH raw AS (
+  SELECT c_custkey AS source_id,
+         CASE WHEN c_custkey % 3 = 0 THEN 'DE' ELSE 'LU' END AS country,
+         [{subs}][CAST(c_custkey % {n} + 1 AS INT)] AS subarea,
+         'Ort ' || CAST(c_custkey % 7 AS VARCHAR) AS municipality
+  FROM customer)
+SELECT r.source_id, r.country, r.subarea,
+       CASE WHEN r.country = 'LU' AND l.commune IS NOT NULL THEN l.commune
+            ELSE r.municipality END AS municipality
+FROM raw r LEFT JOIN {LU.lu_commune_values_sql()} l
+  ON r.country = 'LU' AND r.subarea = l.subarea"""
+
+
 N_MM_IMAGES = 400
 RESIZE_W, RESIZE_H = 8, 8
 N_VIDEOS, N_FRAMES, FRAME_EVERY = 60, 12, 5

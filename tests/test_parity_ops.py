@@ -26,6 +26,8 @@ QUERIES = [
     "import_rejects",
     "resume_pending",
     "sorted_street_list",
+    "lu_commune_lookup",
+    "video_frame_sample",
 ]
 
 
