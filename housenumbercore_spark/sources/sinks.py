@@ -1,0 +1,97 @@
+"""Partitioned table sinks: Iceberg-`overwritePartitions` semantics on plain
+parquet.
+
+The reference maintains its result tables with per-row INSERT/UPDATE/DELETE
+driven by the Workcache diff (/root/reference/src/de/regioosm/
+theoreticalhousenumbercore/util/Workcache.java:243-424) inside a
+per-municipality transaction. The Spark-native equivalent is partition-level
+replacement: results are partitioned by the evaluation unit (job/municipality
+or cell prefix), and a re-evaluation overwrites ONLY the partitions it
+recomputed — readers of other partitions are unaffected, and the old
+snapshot stays readable until the swap (parquet dynamic partition overwrite;
+with an Iceberg catalog the same calls map to ``writeTo(...).
+overwritePartitions()`` and gain snapshot isolation).
+
+Scale notes: partition count should track the evaluation-unit cardinality
+(10⁴-10⁵ municipalities / cell prefixes), not row count; each partition's
+rewrite is a narrow map-only job when upstream already partitioned the
+DataFrame (`repartition(partition_cols)` avoids tiny-file explosions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic: bool = True,
+) -> None:
+    """Write/overwrite a partitioned parquet table. With ``dynamic=True``
+    only partitions present in ``df`` are replaced (Iceberg
+    overwritePartitions parity); with False the whole table is replaced."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if dynamic else "static",
+    )
+    try:
+        (
+            df.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str],
+    deletes: DataFrame | None = None,
+) -> None:
+    """MERGE INTO parity without a table format (Workcache write-back,
+    Workcache.java:243-424: new→INSERT, changed→UPDATE, deleted→DELETE):
+    affected partitions are recomputed as (current rows neither updated nor
+    deleted) ∪ (update rows), then dynamically overwritten. Untouched
+    partitions keep their files byte-identical.
+
+    ``updates`` must carry the partition columns. ``deletes`` is an optional
+    key DataFrame listing rows to drop (the diff protocol's DELETE set).
+    """
+    import shutil
+    import tempfile
+
+    current = spark.read.parquet(path)
+    touched = updates.select(*partition_cols).dropDuplicates()
+    if deletes is not None:
+        touched = touched.unionByName(
+            current.join(deletes.select(*keys).dropDuplicates(), keys, "left_semi")
+            .select(*partition_cols)
+            .dropDuplicates()
+        ).dropDuplicates()
+    kept = (
+        current.join(touched, partition_cols, "left_semi")
+        .join(updates.select(*keys).dropDuplicates(), keys, "left_anti")
+    )
+    if deletes is not None:
+        kept = kept.join(deletes.select(*keys).dropDuplicates(), keys, "left_anti")
+    merged = kept.unionByName(updates.select(*current.columns))
+    # Parquet cannot overwrite a path it is reading, so the merged
+    # partitions materialize to a staging table first — fully distributed,
+    # never through the driver. (An Iceberg catalog removes this extra hop:
+    # MERGE INTO writes new files and swaps the snapshot pointer.)
+    staging = tempfile.mkdtemp(prefix="hns_merge_stage_")
+    try:
+        write_partitioned(merged, staging, partition_cols, dynamic=False)
+        staged = spark.read.parquet(staging)
+        write_partitioned(staged, path, partition_cols, dynamic=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -1,0 +1,70 @@
+"""Partitioned-sink semantics: dynamic partition overwrite + merge upsert."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from housenumbercore_spark.sources import sinks as SK
+
+
+def _jobs_df(spark, jobs, tag):
+    rows = [(j, i, f"{tag}-{j}-{i}") for j in jobs for i in range(5)]
+    return spark.createDataFrame(rows, "job_id int, rec_id int, payload string")
+
+
+def _files_per_partition(path):
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("job_id="):
+            full = os.path.join(path, d)
+            out[d] = sorted(
+                (f, os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_dynamic_overwrite_touches_only_written_partitions(spark):
+    path = tempfile.mkdtemp(prefix="hns_sink_")
+    SK.write_partitioned(_jobs_df(spark, [0, 1, 2], "v1"), path, ["job_id"])
+    before = _files_per_partition(path)
+    assert set(before) == {"job_id=0", "job_id=1", "job_id=2"}
+
+    SK.write_partitioned(_jobs_df(spark, [1], "v2"), path, ["job_id"])
+    after = _files_per_partition(path)
+    assert after["job_id=0"] == before["job_id=0"], "untouched partition rewritten"
+    assert after["job_id=2"] == before["job_id=2"]
+    assert after["job_id=1"] != before["job_id=1"]
+
+    got = spark.read.parquet(path)
+    assert got.count() == 15
+    v2 = got.filter(F.col("payload").startswith("v2")).select("job_id").distinct()
+    assert [r.job_id for r in v2.collect()] == [1]
+
+
+def test_merge_upsert_partitioned(spark):
+    path = tempfile.mkdtemp(prefix="hns_merge_")
+    SK.write_partitioned(_jobs_df(spark, [0, 1], "v1"), path, ["job_id"])
+
+    # re-evaluate job 1: rec 0 updated, rec 9 inserted, rec 4 deleted,
+    # recs 1-3 untouched (absent from updates → kept)
+    updates = spark.createDataFrame(
+        [(1, 0, "v2-upd"), (1, 9, "v2-new")],
+        "job_id int, rec_id int, payload string",
+    )
+    deletes = spark.createDataFrame([(1, 4)], "job_id int, rec_id int")
+    SK.merge_upsert_partitioned(
+        spark, path, updates, ["job_id", "rec_id"], ["job_id"], deletes=deletes
+    )
+
+    got = {(r.job_id, r.rec_id): r.payload for r in spark.read.parquet(path).collect()}
+    assert len([k for k in got if k[0] == 0]) == 5, "untouched job 0 intact"
+    assert got[(1, 0)] == "v2-upd", "matched row updated"
+    assert got[(1, 1)] == "v1-1-1", "unmatched row kept"
+    assert (1, 4) not in got, "delete-set row removed"
+    assert got[(1, 9)] == "v2-new", "new row inserted"
+    assert len([k for k in got if k[0] == 1]) == 5
