@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Package the engine and run the flagship job through spark-submit
+# --py-files, exactly as it would ship to a multi-executor cluster
+# (swap --master local[N] for yarn/k8s + executor confs there).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ZIP=/tmp/housenumbercore_spark.zip
+rm -f "$ZIP"
+python - <<'EOF'
+import zipfile, os
+with zipfile.ZipFile("/tmp/housenumbercore_spark.zip", "w") as z:
+    for root, _, files in os.walk("housenumbercore_spark"):
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                z.write(p, p)
+EOF
+
+MASTER="${SPARK_MASTER:-local[8]}"
+exec spark-submit \
+  --master "$MASTER" \
+  --conf spark.sql.shuffle.partitions=32 \
+  --conf spark.sql.adaptive.enabled=true \
+  --py-files "$ZIP" \
+  BENCH/submit_job.py "${1:-/root/testdata/sf0.001}"

@@ -21,6 +21,32 @@ import sys
 import time
 
 
+# Headline set: the flagship spatial pipeline + one representative of every
+# operator family. The FULL query matrix runs value-checked against DuckDB
+# at sf0.01 (driver correctness gate + tests/test_parity_ops.py); the bench
+# times the scale-relevant shapes at sf0.1.
+HEADLINE = [
+    "pip_count_per_area",
+    "pip_assignments",
+    "tile_counts",
+    "census_counters",
+    "knn_nearest_street",
+    "match_evaluation",
+    "evaluation_counters",
+    "street_catalog",
+    "hnr_explode",
+    "image_invariants",
+    "image_decode_stats",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "sim_ann_topk",
+    "text_quality",
+    "text_token_stats",
+    "merge_diff",
+    "stream_windowed_counts",
+]
+
+
 def run_bench(sf_dir: str, cpus: str) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from pyspark.sql import functions as F
@@ -36,7 +62,9 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         queries = entrymod.queries()
         timings: dict[str, float] = {}
         rows: dict[str, int] = {}
-        for name, q in queries.items():
+        for name in HEADLINE:
+            q = queries[name]
+            print(f"[bench] {name} ...", file=sys.stderr, flush=True)
             df = q(spark, sf_dir)
             t0 = time.perf_counter()
             try:

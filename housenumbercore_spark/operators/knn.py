@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..geo import cells as C
-from ..geo.distance import distance_m_col
+from ..geo.distance import EARTH_RADIUS_M, distance_m_col
 
 
 def _ring_offsets_df(spark, k: int):
@@ -75,7 +75,8 @@ def knn_nearest(
     """→ points columns + (target_id, target payload, dist_m, knn_rank).
 
     Points with no target in their k-ring are absent from the output
-    (caller may re-run them at a coarser ``res`` and union).
+    (caller may re-run them at a coarser ``res`` and union —
+    :func:`knn_nearest_multires` automates exactly that).
     """
     dim = expand_targets_to_ring(targets, res, k_ring, lon=tlon, lat=tlat)
     pts = points.withColumn("__cell", C.cell_col(lon, lat, res))
@@ -89,4 +90,94 @@ def knn_nearest(
     out = cand.withColumn("knn_rank", F.row_number().over(w)).filter(
         F.col("knn_rank") <= n_neighbors
     )
+    return out
+
+
+def ring_guarantee_m(
+    res: int, k: int, lon: str = "lon", lat: str = "lat"
+) -> F.Column:
+    """Lower bound (meters, equirectangular formula) on the distance from a
+    point to ANY target outside the point's cell k-ring at ``res``.
+
+    A target outside the ring differs by more than ``g_lon`` degrees of
+    longitude or more than ``g_lat`` degrees of latitude (distance from the
+    point to the nearest ring edge). Under the engine's distance formula
+    d = R·sqrt((Δlon·cosφₘ)² + Δlat²):
+
+    - Δlat ≥ g_lat alone gives d ≥ R·rad(g_lat);
+    - Δlon ≥ g_lon with |Δlat| < g_lat bounds the midpoint latitude by
+      |φ| + g_lat/2, so d ≥ R·rad(g_lon)·cos(|φ| + g_lat/2).
+
+    A 0.9999 factor absorbs float rounding. If the best in-ring candidate is
+    STRICTLY closer than this bound, it is provably the global nearest."""
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+    lo, la = F.col(lon), F.col(lat)
+    ix = F.least(F.greatest(F.floor((lo + 180.0) / cw), F.lit(0)), F.lit(n - 1))
+    iy = F.least(F.greatest(F.floor((la + 90.0) / ch), F.lit(0)), F.lit(n - 1))
+    g_lon = F.least(lo - ((ix - k) * cw - 180.0), ((ix + 1 + k) * cw - 180.0) - lo)
+    g_lat = F.least(la - ((iy - k) * ch - 90.0), ((iy + 1 + k) * ch - 90.0) - la)
+    cos_m = F.cos(F.radians(F.abs(la) + g_lat / 2))
+    return (
+        F.least(F.radians(g_lat), F.radians(g_lon) * cos_m)
+        * F.lit(EARTH_RADIUS_M * 0.9999)
+    )
+
+
+def knn_nearest_multires(
+    points: DataFrame,
+    targets: DataFrame,
+    res_list: list[int],
+    k_ring: int = 1,
+    n_neighbors: int = 1,
+    point_id: str = "point_id",
+    target_id: str = "street_key",
+    lon: str = "lon",
+    lat: str = "lat",
+    tlon: str = "slon",
+    tlat: str = "slat",
+) -> DataFrame:
+    """EXACT kNN with bounded candidate counts: run the ring join at the
+    finest resolution first and accept every point whose n-th nearest
+    in-ring candidate beats :func:`ring_guarantee_m`; escalate only the
+    remainder to coarser resolutions. The LAST res in ``res_list`` is the
+    unconditional fallback and must ring-cover the whole target domain.
+
+    Scale shape: at a res where the ring holds O(10) targets, candidates are
+    ~(2k+1)²·density·|points| instead of |points|·|targets| — the difference
+    between a 10⁶-candidate round and a 10¹⁴-row cross join at the 10¹²
+    target shape. Each round's unresolved set is a narrow cached
+    (id, lon, lat) projection, typically a few % of its predecessor."""
+    cores = points.sparkSession.sparkContext.defaultParallelism
+    remaining = points.repartition(cores)  # decouple from input file count
+    out: DataFrame | None = None
+    for i, res in enumerate(res_list):
+        last = i == len(res_list) - 1
+        ranked = knn_nearest(
+            remaining, targets, res, k_ring, n_neighbors,
+            point_id=point_id, target_id=target_id,
+            lon=lon, lat=lat, tlon=tlon, tlat=tlat,
+        )
+        if not last:
+            g = ring_guarantee_m(res, k_ring, lon, lat)
+            wcnt = W.partitionBy(point_id)
+            ranked = (
+                ranked.withColumn("__worst", F.max("dist_m").over(wcnt))
+                .withColumn("__cnt", F.count(F.lit(1)).over(wcnt))
+                .withColumn(
+                    "__sure", (F.col("__cnt") == n_neighbors) & (F.col("__worst") < g)
+                )
+                .cache()  # consumed twice (accepted rows + resolved-id set)
+            )
+            accepted = ranked.filter(F.col("__sure")).drop("__worst", "__cnt", "__sure")
+            # narrow cached projection: a few % of points after round 1
+            unresolved = remaining.join(
+                ranked.filter(F.col("__sure")).select(point_id).dropDuplicates(),
+                point_id,
+                "left_anti",
+            ).cache()
+            remaining = unresolved
+        else:
+            accepted = ranked
+        out = accepted if out is None else out.unionByName(accepted)
     return out

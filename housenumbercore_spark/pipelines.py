@@ -667,16 +667,23 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.audio_features(IMG.audio_df(spark, N_AUDIO))
 
 
-KNN_RES = 8  # ring-1 at res 8 covers the whole synthetic world → exact kNN
+# Multi-resolution exact kNN: fine rings bound candidates per point (the
+# scale path); res 8's ring-1 covers the whole synthetic world, making the
+# last round an unconditional exact fallback for the few unguaranteed points.
+KNN_RES_LIST = [13, 10, 8]
 
 
 def knn_nearest_street(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
-    """J10: nearest street per point via k-ring candidate expansion."""
+    """J10: nearest street per point via k-ring candidate expansion with
+    guarantee-based escalation (exact — value-checked against the oracle's
+    brute-force cross join)."""
     from .operators import knn as KN
     from .sources import streets as ST
     from .sources import synthetic as S
 
     pts = S.points_df(spark, sf_dir).select("point_id", "lon", "lat")
     targets = ST.street_points_df(spark, sf_dir)
-    out = KN.knn_nearest(pts, targets, res=KNN_RES, k_ring=1, n_neighbors=k)
+    out = KN.knn_nearest_multires(
+        pts, targets, res_list=KNN_RES_LIST, k_ring=1, n_neighbors=k
+    )
     return out.select("point_id", "street_key", "name", "knn_rank")

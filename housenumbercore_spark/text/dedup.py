@@ -85,17 +85,24 @@ def with_shingle_hashes(docs: DataFrame, k: int) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, k: int = 2) -> DataFrame:
     """32-element MinHash signature per doc (universal hashing
-    (a*h+b) mod 2^31-1 over shingle hashes; constants in hashing.py)."""
-    d = with_shingle_hashes(docs, k)
-    sig = F.array(
-        *[
-            F.expr(
-                f"array_min(transform(sh31, h -> ({a} * h + {b}) % {MERSENNE31}))"
-            )
-            for a, b in zip(MINHASH_A, MINHASH_B)
-        ]
+    (a*h+b) mod 2^31-1 over shingle hashes; constants in hashing.py).
+
+    Shape: explode shingle hashes → 32 ``min`` aggregates per doc. The
+    min-aggregation runs inside whole-stage codegen (array higher-order
+    lambdas are interpreted per element — measured 10×+ slower), and
+    map-side partial aggregation collapses each doc to one row before the
+    shuffle, so shuffle volume is |docs| × 32 int64s regardless of shingle
+    count."""
+    d = with_shingle_hashes(docs, k).select(
+        "doc_id", F.explode("sh31").alias("h")
     )
-    return d.select("doc_id", sig.alias("sig"))
+    aggs = [
+        F.min(F.expr(f"({a} * h + {b}) % {MERSENNE31}")).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    agg = d.groupBy("doc_id").agg(*aggs)
+    sig = F.array(*[F.col(f"m{i}") for i in range(len(MINHASH_A))])
+    return agg.select("doc_id", sig.alias("sig"))
 
 
 def minhash_bands(sigs: DataFrame) -> DataFrame:
@@ -151,17 +158,26 @@ def minhash_dedup_pairs(docs: DataFrame, k: int = 2) -> DataFrame:
 
 def simhash(docs: DataFrame) -> DataFrame:
     """60-bit SimHash over tokens (with multiplicity): bit j is set when the
-    sum of ±1 votes from token-hash bit j is positive. Pure per-row
-    expression — nested higher-order aggregate, no shuffle."""
-    d = docs.withColumn("toks", tokens_col()).withColumn(
-        "hs", F.expr(f"transform(toks, t -> {h60_spark('t')})")
+    sum of ±1 votes from token-hash bit j is positive — equivalently, when
+    more than half the token hashes have bit j set.
+
+    Shape: explode tokens → 60 codegen'd bit-count sums + a token count per
+    doc (map-side partial agg → one row per doc enters the shuffle), then
+    one 60-term projection assembles the hash. Replaces a nested
+    interpreted higher-order aggregate that was ~20× slower per row."""
+    d = docs.withColumn("toks", tokens_col()).select(
+        "doc_id", F.explode("toks").alias("t")
     )
+    d = d.select("doc_id", F.expr(h60_spark("t")).alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = d.groupBy("doc_id").agg(*aggs)
     sim = F.expr(
-        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, j) -> acc + "
-        f"IF(aggregate(hs, 0L, (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 "
-        f"THEN 1 ELSE -1 END) > 0, shiftleft(1L, j), 0L))"
+        " + ".join(f"IF(b{j} * 2 > n, {1 << j}L, 0L)" for j in range(SIMHASH_BITS))
     )
-    return d.select("doc_id", sim.alias("simhash"))
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 24) -> DataFrame:
