@@ -126,15 +126,18 @@ WHERE NOT EXISTS (
 def hnr_explode_sql() -> str:
     a = "trim(split_part(part, '-', 1))"
     b = "trim(split_part(part, '-', 2))"
+    # TRY_CAST throughout: DuckDB's vectorized AND evaluates both operands,
+    # so a plain CAST on a non-numeric bound ('7x') raises even when the
+    # regexp guard is false for that row.
     valid = (
         f"length(part) - length(replace(part, '-', '')) = 1 "
         f"AND regexp_matches({a}, '^[0-9]+$') AND regexp_matches({b}, '^[0-9]+$') "
-        f"AND CAST({b} AS INT) > CAST({a} AS INT)"
+        f"AND TRY_CAST({b} AS INT) > TRY_CAST({a} AS INT)"
     )
     expand = (
         f"CASE WHEN NOT contains(part, '-') THEN [part] "
         f"WHEN {valid} THEN list_transform("
-        f"generate_series(CAST({a} AS INT), CAST({b} AS INT), 2), "
+        f"generate_series(TRY_CAST({a} AS INT), TRY_CAST({b} AS INT), 2), "
         f"x -> CAST(x AS VARCHAR)) "
         f"ELSE CAST([] AS VARCHAR[]) END"
     )

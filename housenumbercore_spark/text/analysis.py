@@ -69,20 +69,23 @@ def quality_score(docs: DataFrame) -> DataFrame:
     n_tokens = F.size("toks")
     n_stop = _count_in(QUALITY_STOPWORDS)
     sum_len = F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
-    mean_len = sum_len / n_tokens
-    quality = F.round(
-        F.least(n_tokens, F.lit(400)) / F.lit(400.0) * 0.4
-        + (F.lit(1.0) - n_stop / n_tokens) * 0.3
-        + F.least(mean_len, F.lit(8.0)) / F.lit(8.0) * 0.3,
-        6,
+    d = d.withColumns(
+        {"__n": n_tokens.cast("long"), "__s": n_stop.cast("long"), "__sl": sum_len}
+    )
+    # micropoint integer arithmetic (floor division) — bit-exact across
+    # engines; float sums land on round() boundaries nondeterministically
+    quality_u = F.expr(
+        "1000 * least(__n, 400)"
+        " + (300000 * (__n - __s)) DIV __n"
+        " + least((37500 * __sl) DIV __n, 300000)"
     )
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        quality.alias("quality"),
+        F.col("__n").cast("int").alias("n_tokens"),
+        (F.expr("(1000000 * __s) DIV __n") / 1e6).alias("stopword_ratio"),
+        (F.expr("(1000000 * __sl) DIV __n") / 1e6).alias("mean_token_len"),
+        (quality_u / 1e6).alias("quality"),
     )
 
 

@@ -55,17 +55,22 @@ FROM {_src()} d"""
 
 def quality_sql() -> str:
     stop = _count_in(QUALITY_STOPWORDS)
+    sl = "list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum')"
+    n = "CAST(len(toks) AS BIGINT)"
+    s = f"CAST({stop} AS BIGINT)"
+    # mirror the engine's micropoint integer arithmetic (floor division)
+    qu = (
+        f"(1000 * least({n}, 400)"
+        f" + (300000 * ({n} - {s})) // {n}"
+        f" + least((37500 * {sl}) // {n}, 300000))"
+    )
     return f"""
 SELECT doc_id,
   CAST(length(text) AS INT) AS n_chars,
   CAST(len(toks) AS INT) AS n_tokens,
-  CAST(round({stop} / len(toks), 6) AS DOUBLE) AS stopword_ratio,
-  CAST(round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
-       / len(toks), 6) AS DOUBLE) AS mean_token_len,
-  CAST(round(least(len(toks), 400) / 400.0 * 0.4
-       + (1.0 - {stop} / len(toks)) * 0.3
-       + least(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
-               / len(toks), 8.0) / 8.0 * 0.3, 6) AS DOUBLE) AS quality
+  ((1000000 * {s}) // {n}) / 1e6 AS stopword_ratio,
+  ((1000000 * {sl}) // {n}) / 1e6 AS mean_token_len,
+  {qu} / 1e6 AS quality
 FROM {_src()} d"""
 
 
