@@ -121,6 +121,28 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.manifest_summary(spark, out)
 
 
+def _q_checkpoint_image_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule lineage over the IMAGE pipeline: checkpoint the
+    tile-assigned image table per partition; manifests carry input
+    fingerprint, cell range, row count and xor pixel-hash digest. Rows-only
+    (phash derives from binary codecs)."""
+    import tempfile
+
+    from housenumbercore_spark import checkpoint as CP
+    from housenumbercore_spark.operators import pip_join as PJ
+    from housenumbercore_spark.sources import images as IMG
+
+    def build(spark: SparkSession, key) -> DataFrame:
+        imgs = IMG.images_df(spark, 800).filter(F.pmod(F.shiftright("phash", 1), F.lit(4)) == int(key))
+        return PJ.tile_assign(imgs, TILE_RES).select(
+            "image_id", "phash", "tile_id"
+        )
+
+    out = tempfile.mkdtemp(prefix="hns_img_ckpt_")
+    CP.checkpointed_run(spark, build, [0, 1, 2, 3], out, "imgsnap", max_concurrency=2)
+    return CP.manifest_summary_full(spark, out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from housenumbercore_spark import pipelines as P
 
@@ -160,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_recall": P.sim_ann_recall,
         "emb_neardup_pairs": P.emb_neardup_pairs,
         "checkpoint_lineage": _q_checkpoint_lineage,
+        "checkpoint_image_lineage": _q_checkpoint_image_lineage,
         "csv_import_roundtrip": P.csv_import_roundtrip,
         "hnr_explode": P.hnr_explode,
         "associated_street": P.associated_street,

@@ -47,6 +47,10 @@ class PartitionManifest:
     row_count: int
     value_digest: int
     completed_at: float
+    # north-rule lineage extras (None when the partition has no such column)
+    cell_min: int | None = None
+    cell_max: int | None = None
+    pixel_digest: int | None = None  # xor over the per-image phash column
 
 
 def row_digest_col(df: DataFrame):
@@ -54,6 +58,9 @@ def row_digest_col(df: DataFrame):
     return F.expr(
         "cast(conv(substring(md5(to_json(struct(*))), 1, 15), 16, 10) as bigint)"
     )
+
+
+CELL_COL_CANDIDATES = ("cell", "tile_id", "__cell")
 
 
 def compute_digest(df: DataFrame) -> tuple[int, int]:
@@ -66,6 +73,35 @@ def compute_digest(df: DataFrame) -> tuple[int, int]:
         ).alias("d"),
     ).collect()[0]
     return int(row.n), int(row.d if row.d is not None else 0)
+
+
+def compute_stats(df: DataFrame) -> dict:
+    """Single aggregate over a partition's data: row count, order-independent
+    value digest, cell range (when a cell/tile column exists) and xor pixel
+    digest (when a ``phash`` column exists). One pass, map-side combinable."""
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(to_json(struct(*))), 1, 15), 16, 10)"
+            " as bigint))"
+        ).alias("d"),
+    ]
+    cell = next((c for c in CELL_COL_CANDIDATES if c in df.columns), None)
+    if cell:
+        aggs += [F.min(cell).alias("cmin"), F.max(cell).alias("cmax")]
+    has_phash = "phash" in df.columns
+    if has_phash:
+        aggs.append(F.expr("bit_xor(phash)").alias("pd"))
+    row = df.select(*aggs).collect()[0]
+    return {
+        "row_count": int(row.n),
+        "value_digest": int(row.d if row.d is not None else 0),
+        "cell_min": int(row.cmin) if cell and row.cmin is not None else None,
+        "cell_max": int(row.cmax) if cell and row.cmax is not None else None,
+        "pixel_digest": (
+            int(row.pd) if has_phash and row.pd is not None else None
+        ),
+    }
 
 
 def _part_dir(out_dir: str, key) -> str:
@@ -127,15 +163,14 @@ def checkpointed_run(
         df.write.mode("overwrite").parquet(pdir)
         if fail_on and key in fail_on:
             raise PartitionFailure(f"injected failure on partition {key}")
-        n, digest = compute_digest(spark.read.parquet(pdir))
+        stats = compute_stats(spark.read.parquet(pdir))
         _commit_manifest(
             out_dir,
             PartitionManifest(
                 partition=str(key),
                 input_fingerprint=input_fingerprint,
-                row_count=n,
-                value_digest=digest,
                 completed_at=time.time(),
+                **stats,
             ),
         )
         computed.append(key)
@@ -183,6 +218,24 @@ def manifest_summary(spark: SparkSession, out_dir: str) -> DataFrame:
         rows,
         "partition string, input_fingerprint string, "
         "row_count long, value_digest long",
+    )
+
+
+def manifest_summary_full(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Full north-rule lineage view: + cell range and pixel digest."""
+    rows = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("part="):
+            m = load_manifest(out_dir, d.split("=", 1)[1])
+            if m is not None:
+                rows.append(
+                    (m.partition, m.input_fingerprint, m.row_count,
+                     m.value_digest, m.cell_min, m.cell_max, m.pixel_digest)
+                )
+    return spark.createDataFrame(
+        rows,
+        "partition string, input_fingerprint string, row_count long, "
+        "value_digest long, cell_min long, cell_max long, pixel_digest long",
     )
 
 

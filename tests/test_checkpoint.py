@@ -95,3 +95,34 @@ def test_digest_is_order_independent(spark):
     assert (n1, d1) == (n2, d2)
     n3, d3 = CP.compute_digest(df1.filter("id < 3"))
     assert d3 != d1
+
+
+def test_image_lineage_manifest_fields(spark):
+    """North-rule lineage: cell range + pixel digest recorded per partition
+    and verifiable against an independent local recomputation."""
+    import tempfile
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from housenumbercore_spark import checkpoint as CP
+    from housenumbercore_spark.operators import pip_join as PJ
+    from housenumbercore_spark.sources import images as IMG
+
+    def build(s, key):
+        imgs = IMG.images_df(s, 200).filter(F.pmod(F.shiftright("phash", 1), F.lit(2)) == int(key))
+        return PJ.tile_assign(imgs, 13).select("image_id", "phash", "tile_id")
+
+    out = tempfile.mkdtemp(prefix="hns_imglin_")
+    CP.checkpointed_run(spark, build, [0, 1], out, "snapA", max_concurrency=1)
+    mf = {r.partition: r for r in CP.manifest_summary_full(spark, out).collect()}
+    assert set(mf) == {"0", "1"}
+
+    for key in (0, 1):
+        rows = build(spark, key).collect()
+        m = mf[str(key)]
+        assert m.row_count == len(rows)
+        assert m.cell_min == min(r.tile_id for r in rows)
+        assert m.cell_max == max(r.tile_id for r in rows)
+        assert m.pixel_digest == reduce(lambda a, r: a ^ r.phash, rows, 0)
+        assert m.input_fingerprint == "snapA"
