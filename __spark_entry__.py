@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_pending": P.resume_pending,
         "sorted_street_list": P.sorted_street_list,
         "lu_commune_lookup": P.lu_commune_lookup,
+        "street_merge_stats": P.street_merge_stats,
+        "title_case_streets": P.title_case_streets,
         "image_resize_stats": P.image_resize_stats,
         "video_frame_sample": P.video_frame_sample,
         "audio_feature_stats": P.audio_feature_stats,
@@ -223,6 +225,8 @@ def oracle_sql() -> dict[str, str]:
     from housenumbercore_spark.pipelines import (
         csv_import_roundtrip_sql,
         lu_commune_lookup_sql,
+        street_merge_stats_sql,
+        title_case_streets_sql,
         video_frame_sample_sql,
     )
 
@@ -245,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
         "sorted_street_list": O.sorted_street_list_sql(),
         "video_frame_sample": video_frame_sample_sql(),
         "lu_commune_lookup": lu_commune_lookup_sql(),
+        "street_merge_stats": street_merge_stats_sql(),
+        "title_case_streets": title_case_streets_sql(),
         "text_token_stats": TO.token_stats_sql(),
         "text_quality": TO.quality_sql(),
         "text_lang_id": TO.lang_id_sql(),

@@ -569,6 +569,77 @@ def sorted_street_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.withColumn("street_rank", F.row_number().over(w).cast("int"))
 
 
+def street_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as an oracle-checked query: per-street segment and merged-chain
+    counts from the real linemerge (the chain structure of the synthetic
+    network is SQL-derivable, the geometry work is not)."""
+    return street_merged_geometries(spark, sf_dir).select(
+        "area_id", "name", "n_segments", "n_merged"
+    )
+
+
+def street_merge_stats_sql() -> str:
+    from .oracles import areas_sql
+    from .sources.streets import HIGHWAY_WHITELIST, street_segments_sql
+
+    wl = ", ".join(f"'{h}'" for h in HIGHWAY_WHITELIST)
+    return f"""
+WITH segs AS (
+  SELECT *, osm_id // 10 AS street_key FROM {street_segments_sql()} t
+  WHERE highway IN ({wl})),
+areas AS (SELECT * FROM {areas_sql()} a WHERE admin_level = 8),
+asg AS (
+  SELECT s.street_key, s.name, a.area_id FROM segs s JOIN areas a
+    ON s.y0 >= a.ymin AND s.y0 <= a.ymax AND s.x1 >= a.xmin AND s.x0 <= a.xmax)
+SELECT CAST(area_id AS BIGINT) AS area_id, name,
+       CAST(COUNT(*) AS INT) AS n_segments,
+       CAST(COUNT(DISTINCT street_key) AS INT) AS n_merged
+FROM asg GROUP BY area_id, name"""
+
+
+def title_case_streets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: StreetToUpperLower title-casing over raw imported names."""
+    from .norm import names as NM
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    raw = (
+        F.when(k % 6 == 0, "VIA ROMA")
+        .when(k % 6 == 1, "strada del ponte")
+        .when(k % 6 == 2, "PIAZZA II GIUGNO")
+        .when(k % 6 == 3, "Am Markt")
+        .when(k % 6 == 4, "VIA DELLA LIBERTÀ")
+        .otherwise("HAUPTSTRAßE")
+    )
+    d = p.select(k.alias("rec_id"), raw.alias("raw_name"))
+    return d.withColumn("titled", NM.title_case_street("raw_name"))
+
+
+def title_case_streets_sql() -> str:
+    from .norm.names import _UPPER_RUN, LOWERCASE_PARTICLES, UPPERCASE_WORDS
+
+    low = ", ".join(f"'{w}'" for w in LOWERCASE_PARTICLES)
+    up = ", ".join(f"'{w}'" for w in UPPERCASE_WORDS)
+    fix = (
+        f"CASE WHEN lower(t) IN ({low}) THEN lower(t) "
+        f"WHEN upper(t) IN ({up}) THEN upper(t) "
+        f"WHEN regexp_matches(t, '^{_UPPER_RUN}$') "
+        f"THEN substr(t, 1, 1) || lower(substr(t, 2)) ELSE t END"
+    )
+    raw = (
+        "CASE p_partkey % 6 WHEN 0 THEN 'VIA ROMA' "
+        "WHEN 1 THEN 'strada del ponte' WHEN 2 THEN 'PIAZZA II GIUGNO' "
+        "WHEN 3 THEN 'Am Markt' WHEN 4 THEN 'VIA DELLA LIBERTÀ' "
+        "ELSE 'HAUPTSTRAßE' END"
+    )
+    return f"""
+WITH d AS (SELECT p_partkey AS rec_id, {raw} AS raw_name FROM part)
+SELECT rec_id, raw_name,
+  array_to_string(list_transform(string_split(raw_name, ' '), t -> {fix}), ' ')
+    AS titled
+FROM d"""
+
+
 def lu_commune_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: broadcast locality→commune substitution for LU rows."""
     from .sources import lu_communes as LU

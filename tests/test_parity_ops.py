@@ -28,6 +28,8 @@ QUERIES = [
     "sorted_street_list",
     "lu_commune_lookup",
     "video_frame_sample",
+    "street_merge_stats",
+    "title_case_streets",
 ]
 
 
