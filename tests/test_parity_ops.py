@@ -30,6 +30,7 @@ QUERIES = [
     "video_frame_sample",
     "street_merge_stats",
     "title_case_streets",
+    "stream_user_state",
 ]
 
 
