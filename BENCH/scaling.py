@@ -104,6 +104,10 @@ def child(cpus: int) -> None:
                 "seconds": round(best, 3),
                 "rows": n_rows,
                 "throughput_rows_per_sec": round(n_rows / best, 1),
+                # workload identity — state merging must not mix configs
+                "sf_dir": SF_DIR,
+                "rep": REP,
+                "partitions": PARTITIONS,
             }
         )
     )
@@ -145,7 +149,12 @@ def parent() -> None:
         with open(state_path) as f:
             for r in json.load(f):
                 c = r["cpus"]
-                if c in best and r["seconds"] < best[c]["seconds"]:
+                same_workload = (
+                    r.get("sf_dir") == SF_DIR
+                    and r.get("rep") == REP
+                    and r.get("partitions") == PARTITIONS
+                )
+                if same_workload and c in best and r["seconds"] < best[c]["seconds"]:
                     best[c] = r
     with open(state_path, "w") as f:
         json.dump(list(best.values()), f)
@@ -159,7 +168,7 @@ def parent() -> None:
         if b == 4 * a and a in by_cpus and b in by_cpus
     ]
     effs = {f"{a}->{b}": round(_eff(by_cpus[a], by_cpus[b]), 3) for a, b in pairs}
-    primary = effs.get("2->8") or next(iter(effs.values()))
+    primary = effs.get("2->8") or (next(iter(effs.values())) if effs else None)
     summary = {
         "metric": "scaling-efficiency",
         "sf_dir": SF_DIR,
@@ -168,7 +177,7 @@ def parent() -> None:
         "efficiency_pairs": effs,
         "efficiency": primary,
         "target": 0.8,
-        "pass": primary >= 0.8,
+        "pass": primary is not None and primary >= 0.8,
     }
     print(json.dumps(summary))
 
@@ -223,6 +232,14 @@ tens of millions of rows/sec on one node.
 
 _Regenerate with `python BENCH/scaling.py`._
 """
+    # keep hand-maintained sections (headline timings etc.) across rewrites
+    extra_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_extra.md"
+    )
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            md += "\n" + f.read()
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     with open(out_path, "w") as f:
         f.write(md)

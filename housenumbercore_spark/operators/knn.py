@@ -151,6 +151,7 @@ def knn_nearest_multires(
     cores = points.sparkSession.sparkContext.defaultParallelism
     remaining = points.repartition(cores)  # decouple from input file count
     out: DataFrame | None = None
+    prev_unresolved: DataFrame | None = None
     for i, res in enumerate(res_list):
         last = i == len(res_list) - 1
         ranked = knn_nearest(
@@ -170,12 +171,20 @@ def knn_nearest_multires(
                 .cache()  # consumed twice (accepted rows + resolved-id set)
             )
             accepted = ranked.filter(F.col("__sure")).drop("__worst", "__cnt", "__sure")
-            # narrow cached projection: a few % of points after round 1
+            # narrow cached projection: a few % of points after round 1.
+            # Materialize eagerly so the predecessor round's point set can
+            # be freed now instead of pinning storage for the whole job;
+            # the per-round ranked caches stay (they back the final union)
+            # and are bounded by |points| × n_neighbors narrow rows each.
             unresolved = remaining.join(
                 ranked.filter(F.col("__sure")).select(point_id).dropDuplicates(),
                 point_id,
                 "left_anti",
             ).cache()
+            unresolved.count()
+            if prev_unresolved is not None:
+                prev_unresolved.unpersist(blocking=False)
+            prev_unresolved = unresolved
             remaining = unresolved
         else:
             accepted = ranked

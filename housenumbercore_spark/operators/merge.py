@@ -49,8 +49,12 @@ def merge_actions(
         .when(changed, F.lit("update"))
         .otherwise(F.lit("unchanged"))
     )
+    # update-side wins whenever the update ROW exists (not coalesce: an
+    # update that sets a column to NULL must null it in the snapshot,
+    # otherwise the diff never converges)
     out_vals = [
-        F.coalesce(F.col(f"__u_{c}"), F.col(f"__b_{c}")).alias(c) for c in compare
+        F.when(in_u, F.col(f"__u_{c}")).otherwise(F.col(f"__b_{c}")).alias(c)
+        for c in compare
     ]
     return j.select(*keys, *out_vals, action.alias("action"))
 

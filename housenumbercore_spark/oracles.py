@@ -182,8 +182,9 @@ updates AS (
   FROM base WHERE source_id % 17 = 0),
 diff AS (
   SELECT COALESCE(b.source_id, u.source_id) AS source_id,
-         COALESCE(u.street, b.street) AS street,
-         COALESCE(u.housenumber, b.housenumber) AS housenumber,
+         CASE WHEN u.source_id IS NOT NULL THEN u.street ELSE b.street END AS street,
+         CASE WHEN u.source_id IS NOT NULL THEN u.housenumber
+              ELSE b.housenumber END AS housenumber,
          CASE WHEN b.source_id IS NULL THEN 'insert'
               WHEN u.source_id IS NULL THEN 'delete'
               WHEN b.street IS DISTINCT FROM u.street
@@ -252,13 +253,11 @@ SELECT source_id,
 FROM {official_sql()} o"""
 
 
-CENSUS_TILE_RES = 11
-
-
 def census_counters_sql() -> str:
     from .geo.cells import cell_sql
+    from .pipelines import TILE_RES_CENSUS  # single source of truth
 
-    tile = cell_sql("p.lon", "p.lat", CENSUS_TILE_RES)
+    tile = cell_sql("p.lon", "p.lat", TILE_RES_CENSUS)
     return f"""
 SELECT a.area_id, COUNT(*) AS n_points,
        CAST(SUM(CASE WHEN p.hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
@@ -296,10 +295,9 @@ SELECT MIN(ts) AS session_start,
 FROM g GROUP BY user_id, sess_id"""
 
 
-SUBURB_BUFFER_DEG = 0.03
-
-
 def suburb_assignment_sql() -> str:
+    from .pipelines import SUBURB_BUFFER_DEG  # single source of truth
+
     b = SUBURB_BUFFER_DEG
     return f"""
 WITH a AS (SELECT * FROM {areas_sql()} t)

@@ -49,12 +49,17 @@ def audit_plan(df: DataFrame) -> dict:
         m.group(1).strip()
         for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
     ]
+    # formatted mode prints each node twice (tree line '+- Op (4)' and
+    # detail header '(4) Op') — count only the numbered detail headers
+    def n_ops(pattern: str) -> int:
+        return len(re.findall(rf"(?m)^\(\d+\) (?:{pattern})", plan))
+
     return {
-        "n_shuffles": len(re.findall(r"\bExchange\b", plan)),
-        "n_broadcast_joins": len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", plan)),
-        "n_sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "n_shuffles": n_ops("Exchange"),
+        "n_broadcast_joins": n_ops("Broadcast(?:Hash|NestedLoop)Join"),
+        "n_sortmerge_joins": n_ops("SortMergeJoin"),
         "has_batch_eval_python": "BatchEvalPython" in plan,
-        "n_arrow_eval": len(re.findall(r"ArrowEvalPython|MapInPandas", plan)),
+        "n_arrow_eval": n_ops("ArrowEvalPython|MapInPandas"),
         # simple mode prints codegen'd operators as "*(n) Op"
         "wholestage_codegen": "WholeStageCodegen" in plan or "*(" in simple,
         "pushed_filters": [p for p in pushed if p],

@@ -50,9 +50,16 @@ def _update(key, pdfs, state: GroupState):
     n, cents, first_us, last_us = (
         state.get if state.exists else (0, 0, None, None)
     )
+    import numpy as np
+
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # half-away-from-zero to match SQL round() (pandas .round is
+        # banker's half-to-even — off by one on exact half-cents)
+        v = pdf["value"].to_numpy(dtype="float64") * 100
+        cents += int(
+            (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
+        )
         ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
         lo, hi = int(ts_us.min()), int(ts_us.max())
         first_us = lo if first_us is None else min(first_us, lo)

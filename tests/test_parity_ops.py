@@ -95,3 +95,56 @@ def test_hnr_explode_semantics(spark):
         (2, "1"), (2, "3"), (2, "5"),
         (5, "13b"),
     ]
+
+
+def test_merge_null_update_wins(spark):
+    """An update that NULLs a compared column must null it in the snapshot
+    (coalesce would silently revert it and the diff would never converge)."""
+    from housenumbercore_spark.operators import merge as M
+
+    base = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, v string")
+    updates = spark.createDataFrame(
+        [(1, None), (2, "Y")], "k long, v string"
+    )
+    out = {r.k: (r.v, r.action) for r in
+           M.merge_actions(base, updates, ["k"], ["v"]).collect()}
+    assert out[1] == (None, "update")
+    assert out[2] == ("Y", "unchanged")
+    # re-running against the merged snapshot converges to all-unchanged
+    snap = M.apply_merge(M.merge_actions(base, updates, ["k"], ["v"]), ["k"], ["v"])
+    again = {r.k: r.action for r in
+             M.merge_actions(snap, updates, ["k"], ["v"]).collect()}
+    assert set(again.values()) == {"unchanged"}
+
+
+def test_stateful_rounding_half_away(spark, tmp_path):
+    """Exact half-cents round away from zero, matching SQL round()."""
+    import duckdb
+
+    from housenumbercore_spark.streaming import stateful as ST
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0), 7, "c", 0.125, ""),
+         (2, datetime(2024, 1, 1, 0, 10), 7, "c", 0.135, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # the stream source globs on the literal file name events.parquet
+    import glob
+    import shutil
+
+    outdir = tmp_path / "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(str(outdir))
+    part = glob.glob(str(outdir / "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "events.parquet"))
+    got = {r.user_id: r.value_cents
+           for r in ST.user_running_stats(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(ST.user_running_stats_sql()).df()
+    assert got[7] == int(want["value_cents"].iloc[0]) == 13 + 14
