@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_pending": P.resume_pending,
         "sorted_street_list": P.sorted_street_list,
         "lu_commune_lookup": P.lu_commune_lookup,
+        "address_flags": P.address_flags,
         "street_merge_stats": P.street_merge_stats,
         "title_case_streets": P.title_case_streets,
         "image_resize_stats": P.image_resize_stats,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
 
     from housenumbercore_spark.pipelines import (
         csv_import_roundtrip_sql,
+        address_flags_sql,
         lu_commune_lookup_sql,
         street_merge_stats_sql,
         title_case_streets_sql,
@@ -253,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_street_list": O.sorted_street_list_sql(),
         "video_frame_sample": video_frame_sample_sql(),
         "lu_commune_lookup": lu_commune_lookup_sql(),
+        "address_flags": address_flags_sql(),
         "street_merge_stats": street_merge_stats_sql(),
         "title_case_streets": title_case_streets_sql(),
         "text_token_stats": TO.token_stats_sql(),

@@ -640,6 +640,60 @@ SELECT rec_id, raw_name,
 FROM d"""
 
 
+def address_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: the reference writes ``___temp___addressincomplete`` /
+    ``___temp___addressstreetfromassociatedrel`` / ``___temp___
+    relationprocessed`` flags INTO the planet tables' hstore
+    (TheoreticalHousenumbers.java:587-588, 969-997;
+    OSMRelationAssociatedStreetWorkaround.java:164-182). Inputs stay
+    immutable here: the same facts are derived columns computed from the
+    address objects and the relation join — no mutation, rerunnable."""
+    from .operators import relations as R
+    from .sources import relations_src as RS
+
+    osm = A.osm_df(spark, sf_dir).select(
+        "osm_id",
+        F.when(F.col("osm_id") % 31 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("street"))
+        .alias("street"),
+        "housenumber",
+    )
+    resolved = R.resolve_associated_street(osm, RS.relations_df(spark, sf_dir))
+    return resolved.select(
+        "osm_id",
+        (F.col("assoc_street").isNotNull()).alias("street_from_associated_rel"),
+        (F.col("rel_id").isNotNull()).alias("relation_processed"),
+        (
+            F.col("effective_street").isNull()
+            & F.col("housenumber").isNotNull()
+        ).alias("address_incomplete"),
+    )
+
+
+def address_flags_sql() -> str:
+    from .sources.addresses import osm_sql
+    from .sources.relations_src import relations_sql
+
+    return f"""
+WITH osm AS (
+  SELECT osm_id,
+         CASE WHEN osm_id % 31 = 0 THEN NULL ELSE street END AS street,
+         housenumber
+  FROM {osm_sql()} o),
+mem AS (
+  SELECT rel_id, name, unnest(members) AS member_id FROM {relations_sql()} r),
+best AS (
+  SELECT member_id, rel_id, name FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY member_id ORDER BY rel_id) AS rn
+    FROM mem) t WHERE rn = 1)
+SELECT o.osm_id,
+       b.name IS NOT NULL AS street_from_associated_rel,
+       b.rel_id IS NOT NULL AS relation_processed,
+       (COALESCE(b.name, o.street) IS NULL AND o.housenumber IS NOT NULL)
+         AS address_incomplete
+FROM osm o LEFT JOIN best b ON b.member_id = o.osm_id"""
+
+
 def lu_commune_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: broadcast locality→commune substitution for LU rows."""
     from .sources import lu_communes as LU

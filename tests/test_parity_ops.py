@@ -31,6 +31,7 @@ QUERIES = [
     "street_merge_stats",
     "title_case_streets",
     "stream_user_state",
+    "address_flags",
 ]
 
 
