@@ -53,6 +53,9 @@ HEADLINE = [
 
 def run_bench(sf_dir: str, cpus: str) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    # bench runs on the sandbox host: give the single local-mode JVM the big
+    # heap here rather than baking it into the library default (session.py)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
@@ -69,8 +72,11 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         for name in HEADLINE:
             q = queries[name]
             print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-            df = q(spark, sf_dir)
+            # time construction + execution: some queries run eager actions
+            # (checkpoint rounds) while building, and excluding those made
+            # round-1 recorded numbers irreproducible under driver conditions
             t0 = time.perf_counter()
+            df = q(spark, sf_dir)
             try:
                 df.write.format("noop").mode("overwrite").save()
                 n = -1
@@ -101,15 +107,16 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             ),
             13,
         )
-        n_points = flag.count()  # warm-up + row count
-        # best-of-4: the sandbox host's noisy neighbors stall identical
-        # runs by up to 10x, and contention only ever slows a run down
-        t_flag = float("inf")
-        for _ in range(4):
+        n_input_points = pts.count() * rep_n
+        n_rows = flag.count()  # warm-up + output row count (~2 areas/point)
+        # median-of-3 (driver-condition reporting; best-of hid sandbox
+        # contention in round 1 and made the recorded numbers irreproducible)
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             flag.write.format("noop").mode("overwrite").save()
-            t_flag = min(t_flag, time.perf_counter() - t0)
-        thr = n_points / t_flag if t_flag > 0 else 0.0
+            samples.append(time.perf_counter() - t0)
+        t_flag = sorted(samples)[len(samples) // 2]
         timings["flagship_replicated"] = round(t_flag, 3)
         m = re.search(r"sf([\d.]+)", sf_dir)
         return {
@@ -118,8 +125,14 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             "unit": "sec",
             "queries": timings,
             "sf": float(m.group(1)) if m else None,
-            "throughput_rows_per_sec": round(thr, 1),
-            "n_points": n_points,
+            # output rows/sec (one row per point × covering area — ~2 levels
+            # overlap by design); input points/sec reported separately
+            "throughput_rows_per_sec": round(n_rows / t_flag, 1) if t_flag else 0.0,
+            "n_rows": n_rows,
+            "n_input_points": n_input_points,
+            "input_points_per_sec": (
+                round(n_input_points / t_flag, 1) if t_flag else 0.0
+            ),
             "cpus": cpus,
         }
     finally:

@@ -194,14 +194,24 @@ def checkpointed_run(
 
 
 def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read back only COMMITTED partitions (those with a manifest)."""
+    """Read back only COMMITTED partitions (those with a manifest).
+
+    ``basePath`` keeps the Hive-style ``part`` key as a reconstructed column
+    even though only leaf directories are passed. Zero committed partitions
+    raise an explicit error instead of Spark's opaque empty-path failure.
+    """
     dirs = [
         os.path.join(out_dir, d)
         for d in sorted(os.listdir(out_dir))
         if d.startswith("part=")
         and os.path.exists(os.path.join(out_dir, d, MANIFEST_NAME))
     ]
-    return spark.read.parquet(*dirs)
+    if not dirs:
+        raise FileNotFoundError(
+            f"read_checkpointed: no committed partitions under {out_dir} "
+            "(no part=*/ directory has a manifest)"
+        )
+    return spark.read.option("basePath", out_dir).parquet(*dirs)
 
 
 def manifest_summary(spark: SparkSession, out_dir: str) -> DataFrame:

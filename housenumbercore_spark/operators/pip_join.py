@@ -242,10 +242,25 @@ def cover_cells(
 
 
 def jvm_refine_expr(lon: str = "lon", lat: str = "lat") -> F.Column:
-    """Exact point-in-polygon as a pure whole-stage-codegen expression over
-    the cover_cells refine payload: even-odd parity transported from the
-    cell's reference point along the segment ref→point, counting proper
-    crossings with the cell's stored edges (see cover_cells docstring)."""
+    """Exact point-in-polygon (boundary-inclusive, ST_Covers) as a pure
+    whole-stage-codegen expression over the cover_cells refine payload:
+    even-odd parity transported from the cell's reference point along the
+    segment ref→point, counting crossings with the cell's stored edges.
+
+    Degenerate cases (grid-derived data makes exact collinearity real):
+
+    - Crossing counts use the HALF-OPEN convention ``(d<0) != (d'<0)`` (zero
+      lands on the positive side) instead of strict sign products. When the
+      ref→point segment passes exactly through a shared edge vertex, the two
+      incident edges then contribute exactly one crossing if the boundary
+      genuinely crosses the segment and zero/two if it only touches — the
+      strict test counted zero either way and flipped the parity.
+    - A point lying exactly ON a stored edge is accepted outright
+      (``covers`` is boundary-inclusive); parity transport is ambiguous
+      there by nature.
+    The ref point itself is chosen off-boundary by cover_cells, so d3 ≠ 0
+    whenever the edge could cross the ref→point segment interior.
+    """
     # ccw(A,B,P) sign tests; A=ref, B=point, C/D=edge endpoints
     d1 = f"((({lon})-ref_x)*(e[1]-ref_y) - (({lat})-ref_y)*(e[0]-ref_x))"
     d2 = f"((({lon})-ref_x)*(e[3]-ref_y) - (({lat})-ref_y)*(e[2]-ref_x))"
@@ -253,9 +268,91 @@ def jvm_refine_expr(lon: str = "lon", lat: str = "lat") -> F.Column:
     d4 = f"((e[2]-e[0])*(({lat})-e[1]) - (e[3]-e[1])*(({lon})-e[0]))"
     crossings = (
         f"aggregate(edges, 0, (acc, e) -> acc + "
-        f"IF(({d1}) * ({d2}) < 0 AND ({d3}) * ({d4}) < 0, 1, 0))"
+        f"IF( (({d1}) < 0) != (({d2}) < 0) AND (({d3}) < 0) != (({d4}) < 0), "
+        f"1, 0))"
     )
-    return F.expr(f"ref_inside != (({crossings}) % 2 = 1)")
+    on_edge = (
+        f"exists(edges, e -> ({d4}) = 0 "
+        f"AND ({lon}) >= least(e[0], e[2]) AND ({lon}) <= greatest(e[0], e[2]) "
+        f"AND ({lat}) >= least(e[1], e[3]) AND ({lat}) <= greatest(e[1], e[3]))"
+    )
+    return F.expr(
+        f"CASE WHEN {on_edge} THEN true "
+        f"ELSE ref_inside != (({crossings}) % 2 = 1) END"
+    )
+
+
+def seg_crossing_expr(
+    x0: str = "x0", y0: str = "y0", x1: str = "x1", y1: str = "y1"
+) -> F.Column:
+    """Inclusive segment-vs-boundary intersection as a pure codegen
+    expression: true iff segment (x0,y0)-(x1,y1) properly crosses OR touches
+    any edge in the cell's ``edges`` payload. Exactly mirrors the vectorized
+    kernel geo.geometry._segments_intersect (orientation signs + collinear
+    bbox touch), so the JVM street refine matches the python path bit for
+    bit. Replaces the reference's per-municipality ST_Contains/ST_Crosses
+    round-trips (MunicipalityJobs.java:282-304) on the candidate set."""
+    # orientation tests; S0/S1 = segment endpoints, E0/E1 = edge endpoints
+    d1 = f"((({x1})-({x0}))*(e[1]-({y0})) - (({y1})-({y0}))*(e[0]-({x0})))"
+    d2 = f"((({x1})-({x0}))*(e[3]-({y0})) - (({y1})-({y0}))*(e[2]-({x0})))"
+    d3 = f"((e[2]-e[0])*(({y0})-e[1]) - (e[3]-e[1])*(({x0})-e[0]))"
+    d4 = f"((e[2]-e[0])*(({y1})-e[1]) - (e[3]-e[1])*(({x1})-e[0]))"
+    on_seg_s = (  # point (px,py) within the segment's bbox (collinear case)
+        lambda px, py: f"({px}) >= least({x0}, {x1}) AND ({px}) <= greatest({x0}, {x1}) "
+        f"AND ({py}) >= least({y0}, {y1}) AND ({py}) <= greatest({y0}, {y1})"
+    )
+    on_seg_e = (
+        lambda px, py: f"({px}) >= least(e[0], e[2]) AND ({px}) <= greatest(e[0], e[2]) "
+        f"AND ({py}) >= least(e[1], e[3]) AND ({py}) <= greatest(e[1], e[3])"
+    )
+    proper = f"((({d1}) > 0) != (({d2}) > 0)) AND ((({d3}) > 0) != (({d4}) > 0))"
+    touch = (
+        f"(({d1}) = 0 AND {on_seg_s('e[0]', 'e[1]')}) OR "
+        f"(({d2}) = 0 AND {on_seg_s('e[2]', 'e[3]')}) OR "
+        f"(({d3}) = 0 AND {on_seg_e(x0, y0)}) OR "
+        f"(({d4}) = 0 AND {on_seg_e(x1, y1)})"
+    )
+    return F.expr(f"exists(edges, e -> ({proper}) OR ({touch}))")
+
+
+def seg_cover_cells_cols(
+    df: DataFrame,
+    res: int,
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+    out: str = "cell",
+) -> DataFrame:
+    """Explode each segment row to the grid cells covering its bbox —
+    pure column arithmetic + two sequence-explodes, zero Python (the codegen
+    replacement for the pandas line_cover_cells). Superset cover: the exact
+    refine downstream discards false candidates."""
+    n = 1 << res
+
+    def idx(v: F.Column, off: float, span: float) -> F.Column:
+        return (
+            F.least(
+                F.greatest(
+                    F.floor((v + F.lit(off)) / F.lit(span) * F.lit(float(n))),
+                    F.lit(0),
+                ),
+                F.lit(n - 1),
+            ).cast("long")
+        )
+
+    lo_x = idx(F.least(F.col(x0), F.col(x1)), 180.0, 360.0)
+    hi_x = idx(F.greatest(F.col(x0), F.col(x1)), 180.0, 360.0)
+    lo_y = idx(F.least(F.col(y0), F.col(y1)), 90.0, 180.0)
+    hi_y = idx(F.greatest(F.col(y0), F.col(y1)), 90.0, 180.0)
+    d = df.withColumn("__gx", F.explode(F.sequence(lo_x, hi_x)))
+    d = d.withColumn("__gy", F.explode(F.sequence(lo_y, hi_y)))
+    cell = (
+        F.lit(res).cast("long") * F.lit(1 << 58)
+        + F.col("__gx") * F.lit(1 << 29)
+        + F.col("__gy")
+    )
+    return d.withColumn(out, cell).drop("__gx", "__gy")
 
 
 def refine_covers(

@@ -67,37 +67,49 @@ def streets_in_areas(
     res: int | None = None,
 ) -> DataFrame:
     """J1: (street columns..., area_id) for every segment intersecting the
-    area polygon (Contains ∪ Crosses ≡ shares any point, geometry.py)."""
+    area polygon (Contains ∪ Crosses ≡ shares any point with the closed
+    area, MunicipalityJobs.java:282-304).
+
+    Pure-JVM decomposition (no driver collect, no Python on the street
+    path — the segment analogue of the point refine's parity transport):
+
+    segment ∩ polygon ≠ ∅  ⟺  endpoint₀ covered  ∨  segment touches a
+    boundary edge. (If any segment point is inside but endpoint₀ is not,
+    the segment must cross the boundary; endpoint₁ needs no separate test.)
+
+    - endpoint₀ branch: cell equi-join on endpoint₀'s cell + the exact
+      point refine (pip_join.jvm_refine_expr) — whole-stage codegen.
+    - crossing branch: segment-bbox cover cells (codegen sequence explode)
+      equi-join against the area's BOUNDARY cells, then the inclusive
+      segment-vs-stored-edges test (pip_join.seg_crossing_expr). Complete
+      because any boundary intersection point lies in a cell covered by
+      both sides, and that cell's payload stores every edge overlapping it.
+    Both dimension sides broadcast; the only shuffle is the final
+    per-(osm_id, area_id) dedup over narrow street rows.
+    """
+    from .pip_join import jvm_refine_expr, seg_cover_cells_cols, seg_crossing_expr
+
     if res is None:
         res = pick_join_res(areas)
-    area_dim = cover_cells(areas, res)
-    line_dim = line_cover_cells(streets, res)
-    pairs = (
-        line_dim.join(F.broadcast(area_dim), "cell")
-        .select("osm_id", "area_id")
-        .dropDuplicates(["osm_id", "area_id"])
+    dim = cover_cells(areas, res)
+    refine_cols = ["full", "ref_x", "ref_y", "ref_inside", "edges"]
+
+    pts = streets.withColumn("__cell", C.cell_col("x0", "y0", res))
+    ep = (
+        pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner")
+        .filter(jvm_refine_expr("x0", "y0"))
+        .drop("cell", "__cell", *refine_cols)
     )
-    cand = streets.join(pairs, "osm_id")
-    polygons = {r[0]: bytes(r[1]) for r in areas.select("area_id", "polygon").collect()}
-    bc = spark.sparkContext.broadcast(polygons)
-    schema = cand.schema
 
-    def gen(batches):
-        parsed: dict = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            for i, row in enumerate(pdf.itertuples(index=False)):
-                d = row._asdict()
-                poly = parsed.get(d["area_id"])
-                if poly is None:
-                    poly = parsed[d["area_id"]] = G.parse_wkb(bc.value[d["area_id"]])
-                line = np.array([[d["x0"], d["y0"]], [d["x1"], d["y1"]]])
-                keep[i] = G.line_intersects_polygon(poly, line)
-            yield pdf[keep]
+    boundary_dim = dim.filter(~F.col("full"))
+    seg_cells = seg_cover_cells_cols(streets, res)
+    cross = (
+        seg_cells.join(F.broadcast(boundary_dim), "cell", "inner")
+        .filter(seg_crossing_expr("x0", "y0", "x1", "y1"))
+        .drop("cell", *refine_cols)
+    )
 
-    return cand.mapInPandas(gen, schema)
+    return ep.unionByName(cross).dropDuplicates(["osm_id", "area_id"])
 
 
 def apply_whitelist(streets: DataFrame, highway_col: str = "highway") -> DataFrame:

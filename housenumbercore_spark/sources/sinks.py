@@ -65,7 +65,13 @@ def merge_upsert_partitioned(
 
     ``updates`` must carry the partition columns. ``deletes`` is an optional
     key DataFrame listing rows to drop (the diff protocol's DELETE set).
+
+    A touched partition whose row count drops to ZERO is cleared explicitly:
+    dynamic overwrite only rewrites partitions present in the output, so an
+    emptied partition would otherwise keep its old files readable and
+    silently resurrect the deleted rows.
     """
+    import os
     import shutil
     import tempfile
 
@@ -92,6 +98,22 @@ def merge_upsert_partitioned(
     try:
         write_partitioned(merged, staging, partition_cols, dynamic=False)
         staged = spark.read.parquet(staging)
+        # touched partitions that dropped to zero rows are absent from the
+        # staged output, so the dynamic overwrite below never rewrites them;
+        # clear their directories explicitly (partition-count-scale collect,
+        # never row-scale).
+        emptied = (
+            touched.join(
+                staged.select(*partition_cols).dropDuplicates(),
+                partition_cols,
+                "left_anti",
+            ).collect()
+        )
+        for row in emptied:
+            pdir = os.path.join(
+                path, *[f"{c}={row[c]}" for c in partition_cols]
+            )
+            shutil.rmtree(pdir, ignore_errors=True)
         write_partitioned(staged, path, partition_cols, dynamic=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)

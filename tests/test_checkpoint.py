@@ -64,9 +64,12 @@ def test_crash_resume_no_recompute_and_identical_output(spark, tmp_path):
         .sort_values(["point_id", "area_id"])
         .reset_index(drop=True)
     )
+    got_df = CP.read_checkpointed(spark, out)
+    assert "part" in got_df.columns  # partition key survives via basePath
+    got_pdf = got_df.toPandas()
+    assert (got_pdf["part"].astype(int) == got_pdf["point_id"] % 4).all()
     got = (
-        CP.read_checkpointed(spark, out)
-        .toPandas()
+        got_pdf[["point_id", "area_id"]]
         .sort_values(["point_id", "area_id"])
         .reset_index(drop=True)
     )
@@ -75,6 +78,13 @@ def test_crash_resume_no_recompute_and_identical_output(spark, tmp_path):
     # lineage audit: every manifest digest matches the data on disk
     audit = CP.verify_checkpoints(spark, out).toPandas()
     assert len(audit) == 4 and audit.ok.all()
+
+
+def test_read_checkpointed_empty_raises(spark, tmp_path):
+    out = str(tmp_path / "ckpt_empty")
+    os.makedirs(out)
+    with pytest.raises(FileNotFoundError, match="no committed partitions"):
+        CP.read_checkpointed(spark, out)
 
 
 def test_fingerprint_change_forces_recompute(spark, tmp_path):

@@ -114,6 +114,50 @@ def test_nonrectangular_polygon_refine(spark):
     assert list(map(tuple, got.values)) == [(1, 1), (3, 2)]
 
 
+def test_jvm_refine_vertex_collinear_degeneracy(spark):
+    """Points whose ref→point transport segment passes EXACTLY through a
+    polygon vertex (binary-exact with grid-derived coordinates) must still
+    classify correctly; the strict crossing test counted zero at the vertex
+    and flipped parity. Ground truth: the vectorized python covers kernel."""
+    # res=3 → cell [0,45)×[0,22.5); cover_cells picks ref = cell center
+    # (22.5, 11.25). Diamond vertex at center+(3,3); probes along the exact
+    # ray center→vertex, plus on-edge / on-vertex points.
+    diamond = np.array(
+        [[25.5, 14.25], [30.0, 10.0], [35.0, 14.25], [30.0, 19.0], [25.5, 14.25]]
+    )
+    wkb = G.polygon_wkb([diamond])
+    areas = spark.createDataFrame(
+        [(1, bytearray(wkb), 25.5, 10.0, 35.0, 19.0)],
+        "area_id long, polygon binary, xmin double, ymin double, xmax double, ymax double",
+    )
+    probes = [
+        (1, 25.5 + 3.0, 14.25 + 3.0),   # exactly ON the west vertex
+        (2, 25.5 + 4.5, 14.25 + 4.5),   # past the vertex on the same ray
+        (3, 25.5 - 1.5, 14.25 - 1.5),   # before the vertex (outside)
+        (4, 30.0, 14.25),               # interior
+        (5, 30.0, 10.0),                # exactly ON the south vertex
+        (6, 27.75, 12.125),             # exactly ON edge midpoint (v0→v1)
+        (7, 40.0, 14.25),               # outside, east
+    ]
+    pts = spark.createDataFrame(probes, "point_id long, lon double, lat double")
+    got = set(
+        map(
+            tuple,
+            PJ.assign_points_to_areas(spark, pts, areas, res=3)
+            .select("point_id", "area_id")
+            .toPandas()
+            .values,
+        )
+    )
+    poly = G.parse_wkb(wkb)
+    px = np.array([p[1] for p in probes])
+    py = np.array([p[2] for p in probes])
+    want = {
+        (probes[i][0], 1) for i in range(len(probes)) if G.covers(poly, px, py)[i]
+    }
+    assert got == want
+
+
 def test_salted_join_same_result(spark, world):
     pts, areas = world
     res = PJ.pick_join_res(areas)

@@ -57,6 +57,31 @@ def test_filter_pushdown_reaches_parquet(spark):
     ]
 
 
+def test_street_catalog_refine_is_jvm_only(spark):
+    """The street-in-polygon refine must be collect-free pure codegen: the
+    only Python allowed in the plan is the dimension-side cover_cells
+    mapInPandas (areas → cover rows), never a per-candidate street refine."""
+    import inspect
+
+    from housenumbercore_spark.operators import street_catalog as SC
+
+    from housenumbercore_spark.sources import streets as STS
+    from housenumbercore_spark.sources import synthetic as SY
+
+    streets = SC.apply_whitelist(STS.street_segments_df(spark, SF))
+    areas = SY.areas_df(spark, SF).filter("admin_level = 8")
+    df = SC.streets_in_areas(spark, streets, areas)
+    a = audit_plan(df)
+    assert not a["has_batch_eval_python"], "row-at-a-time Python on street path"
+    # the only Python: areas→cover mapInPandas, instantiated once per branch
+    # (endpoint + crossing); explain prints each node twice (tree + detail),
+    # so 2 logical occurrences → ≤4 textual. A Python street refine would
+    # add two more.
+    assert a["plan"].count("MapInPandas") <= 4, a["plan"]
+    src = inspect.getsource(SC.streets_in_areas)
+    assert ".collect()" not in src, "driver-side polygon collect reintroduced"
+
+
 def test_knn_no_cartesian_no_python_rows(spark):
     a = audit_plan(_q("knn_nearest_street")(spark, SF))
     assert not a["has_batch_eval_python"]

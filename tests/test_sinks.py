@@ -68,3 +68,24 @@ def test_merge_upsert_partitioned(spark):
     assert (1, 4) not in got, "delete-set row removed"
     assert got[(1, 9)] == "v2-new", "new row inserted"
     assert len([k for k in got if k[0] == 1]) == 5
+
+
+def test_merge_upsert_clears_emptied_partition(spark):
+    """Deleting every row of a partition must remove the partition's files —
+    dynamic overwrite alone never touches a partition absent from the output
+    and would silently resurrect the deleted rows."""
+    path = tempfile.mkdtemp(prefix="hns_merge_empty_")
+    SK.write_partitioned(_jobs_df(spark, [0, 1], "v1"), path, ["job_id"])
+
+    updates = spark.createDataFrame([], "job_id int, rec_id int, payload string")
+    deletes = spark.createDataFrame(
+        [(1, i) for i in range(5)], "job_id int, rec_id int"
+    )
+    SK.merge_upsert_partitioned(
+        spark, path, updates, ["job_id", "rec_id"], ["job_id"], deletes=deletes
+    )
+
+    assert not os.path.exists(os.path.join(path, "job_id=1"))
+    got = spark.read.parquet(path)
+    assert got.count() == 5
+    assert [r.job_id for r in got.select("job_id").distinct().collect()] == [0]
