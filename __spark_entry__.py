@@ -89,7 +89,7 @@ def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from housenumbercore_spark.sources import images as IMG
     from housenumbercore_spark.sources import synthetic as S
 
-    imgs = IMG.images_df(spark, N_IMAGES)
+    imgs = IMG.images_table(spark, N_IMAGES)
     areas = S.areas_df(spark, sf_dir)
     assigned = PJ.assign_points_to_areas(spark, imgs, areas)
     return IU.invariant_summary(IU.check_invariants(assigned, imgs))
@@ -99,7 +99,7 @@ def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from housenumbercore_spark.images import udfs as IU
     from housenumbercore_spark.sources import images as IMG
 
-    return IU.decode_stats(IMG.images_df(spark, N_IMAGES))
+    return IU.decode_stats(IMG.images_table(spark, N_IMAGES))
 
 
 def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:

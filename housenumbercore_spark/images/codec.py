@@ -83,23 +83,28 @@ def decode_png(buf: bytes) -> np.ndarray:
             break
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
     bpp = 3
+    fts = raw[:, 0]
+    if not fts.any():  # filter 0 everywhere (our encoder's output): zero-copy
+        return raw[:, 1:].reshape(h, w, 3).copy()
     out = np.zeros((h, w * 3), dtype=np.uint8)
     for y in range(h):
-        ft = raw[y, 0]
+        ft = fts[y]
         line = raw[y, 1:].astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(w * 3, dtype=np.int32)
         if ft == 0:
             rec = line
         elif ft == 2:  # Up
             rec = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth need sequential scan
+        elif ft == 1:  # Sub: per-channel prefix sum along x, mod 256
+            rec = (
+                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(w * 3)
+        elif ft in (3, 4):  # Average / Paeth: genuinely sequential scan
             rec = np.zeros(w * 3, dtype=np.int32)
             for x in range(w * 3):
                 a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                if ft == 1:
-                    rec[x] = (line[x] + a) & 0xFF
-                elif ft == 3:
+                if ft == 3:
                     rec[x] = (line[x] + (a + b) // 2) & 0xFF
                 else:
                     c = prev[x - bpp] if x >= bpp else 0

@@ -54,6 +54,20 @@ def check_invariants(
     )
     joined = o.join(s, "image_id", "inner")
 
+    # Byte-equal payloads short-circuit ENTIRELY inside the JVM: identical
+    # bytes decode identically, so psnr = ∞ without touching Python. Only
+    # genuinely transformed rows (resize/re-encode) pay the Arrow hop +
+    # decode — at the 10¹²-row shape the pass-through verification path is
+    # pure whole-stage codegen.
+    cap_ok_col = F.col("__oc").eqNullSafe(F.col("__sc"))
+    same = joined.filter(F.col("__ob") == F.col("__sb")).select(
+        "image_id",
+        F.lit(999.0).alias("psnr_db"),
+        F.lit(True).alias("pixels_ok"),
+        cap_ok_col.alias("caption_ok"),
+    )
+    diff = joined.filter(~(F.col("__ob") == F.col("__sb")))
+
     def gen(batches):
         for pdf in batches:
             n = len(pdf)
@@ -79,7 +93,7 @@ def check_invariants(
                 }
             )
 
-    return joined.mapInPandas(gen, _SCHEMA)
+    return same.unionByName(diff.mapInPandas(gen, _SCHEMA))
 
 
 def invariant_summary(check_df: DataFrame) -> DataFrame:

@@ -39,24 +39,32 @@ def expand_targets_to_ring(
     targets: DataFrame, res: int, k: int = 1, lon: str = "slon", lat: str = "slat"
 ) -> DataFrame:
     """Replicate each target row to all cells of its k-ring (column-arithmetic
-    ring: lon wraps, lat clamps — same semantics as geo.cells.k_ring)."""
+    ring: lon wraps; lat offsets running past a pole are FILTERED rather than
+    clamped — the same covered-cell set as geo.cells.k_ring's clamp+dedup,
+    but duplicate-free by construction, so the ring dim needs no
+    dropDuplicates shuffle before broadcasting)."""
     spark = targets.sparkSession
     n = 1 << res
     t = targets.withColumn("__c", C.cell_col(lon, lat, res))
     ix = F.shiftright("__c", 29) % F.lit(1 << 29)  # integer ops: no float division
     iy = F.col("__c") % F.lit(1 << 29)
     offs = F.broadcast(_ring_offsets_df(spark, k))
-    expanded = t.crossJoin(offs).select(
-        "*",
-        (
-            F.lit(res).cast("long") * F.lit(1 << 58)
-            + F.pmod(ix + F.col("dx"), F.lit(n)) * F.lit(1 << 29)
-            + F.least(F.greatest(iy + F.col("dy"), F.lit(0)), F.lit(n - 1))
-        ).alias("cell"),
+    expanded = (
+        t.crossJoin(offs)
+        .filter((iy + F.col("dy") >= 0) & (iy + F.col("dy") <= n - 1))
+        .select(
+            "*",
+            (
+                F.lit(res).cast("long") * F.lit(1 << 58)
+                + F.pmod(ix + F.col("dx"), F.lit(n)) * F.lit(1 << 29)
+                + (iy + F.col("dy"))
+            ).alias("cell"),
+        )
     )
-    return expanded.drop("__c", "dx", "dy").dropDuplicates(
-        [c for c in expanded.columns if c not in ("__c", "dx", "dy")]
-    )
+    out = expanded.drop("__c", "dx", "dy")
+    if n <= 2 * k + 1:  # lon wrap can alias cells only at degenerate res
+        out = out.dropDuplicates(out.columns)
+    return out
 
 
 def knn_nearest(
@@ -86,6 +94,25 @@ def knn_nearest(
     cand = cand.withColumn(
         "dist_m", distance_m_col(F.col(lon), F.col(lat), F.col(tlon), F.col(tlat))
     )
+    if n_neighbors == 1:
+        # argmin as a hash aggregate: min(struct(dist, id, payload...)) is
+        # map-side combinable, so the per-point candidate fan-in (ring ×
+        # target density) collapses BEFORE the shuffle — |points| narrow
+        # rows shuffle instead of every candidate, and no sort at all.
+        # Deterministic: (dist_m, target_id) leads the struct and target_id
+        # is unique, so later fields never decide the min. The window path
+        # below shuffles + sorts all candidates — only needed for k > 1.
+        others = [c for c in cand.columns if c != point_id]
+        best = cand.groupBy(point_id).agg(
+            F.min(F.struct("dist_m", target_id, *[c for c in others
+                                                  if c not in ("dist_m", target_id)])
+                  ).alias("__best")
+        )
+        return best.select(
+            point_id,
+            *[F.col(f"__best.{c}").alias(c) for c in others],
+            F.lit(1).alias("knn_rank"),
+        )
     w = W.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col(target_id).asc())
     out = cand.withColumn("knn_rank", F.row_number().over(w)).filter(
         F.col("knn_rank") <= n_neighbors
@@ -146,12 +173,20 @@ def knn_nearest_multires(
     Scale shape: at a res where the ring holds O(10) targets, candidates are
     ~(2k+1)²·density·|points| instead of |points|·|targets| — the difference
     between a 10⁶-candidate round and a 10¹⁴-row cross join at the 10¹²
-    target shape. Each round's unresolved set is a narrow cached
-    (id, lon, lat) projection, typically a few % of its predecessor."""
+    target shape.
+
+    Materialization contract: exactly ONE job per non-final round — the
+    round's ranked+flag rows are localCheckpointed (lineage truncated), the
+    accepted subset and the next round's anti-join both read those stored
+    blocks, and the blocks are freed by RDD GC when the returned plan drops
+    its references. No explicit cache pinning, no per-round count()
+    barriers (round 1's cache+count+anti-join structure serialized rounds
+    on the driver and pinned |points|×k rows per round for the whole job).
+    On a multi-executor cluster prefer ``df.checkpoint()`` to reliable
+    storage if executor loss must not restart the job."""
     cores = points.sparkSession.sparkContext.defaultParallelism
     remaining = points.repartition(cores)  # decouple from input file count
     out: DataFrame | None = None
-    prev_unresolved: DataFrame | None = None
     for i, res in enumerate(res_list):
         last = i == len(res_list) - 1
         ranked = knn_nearest(
@@ -161,31 +196,31 @@ def knn_nearest_multires(
         )
         if not last:
             g = ring_guarantee_m(res, k_ring, lon, lat)
-            wcnt = W.partitionBy(point_id)
-            ranked = (
-                ranked.withColumn("__worst", F.max("dist_m").over(wcnt))
-                .withColumn("__cnt", F.count(F.lit(1)).over(wcnt))
-                .withColumn(
-                    "__sure", (F.col("__cnt") == n_neighbors) & (F.col("__worst") < g)
+            if n_neighbors == 1:
+                # one row per point already (argmin aggregate): the bound
+                # check is a plain projection, no window
+                flags = ranked.withColumn(
+                    "__sure", F.col("dist_m") < g
+                ).localCheckpoint(eager=True)
+                drop_cols = ["__sure"]
+            else:
+                wcnt = W.partitionBy(point_id)
+                flags = (
+                    ranked.withColumn("__worst", F.max("dist_m").over(wcnt))
+                    .withColumn("__cnt", F.count(F.lit(1)).over(wcnt))
+                    .withColumn(
+                        "__sure",
+                        (F.col("__cnt") == n_neighbors) & (F.col("__worst") < g),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .cache()  # consumed twice (accepted rows + resolved-id set)
-            )
-            accepted = ranked.filter(F.col("__sure")).drop("__worst", "__cnt", "__sure")
-            # narrow cached projection: a few % of points after round 1.
-            # Materialize eagerly so the predecessor round's point set can
-            # be freed now instead of pinning storage for the whole job;
-            # the per-round ranked caches stay (they back the final union)
-            # and are bounded by |points| × n_neighbors narrow rows each.
-            unresolved = remaining.join(
-                ranked.filter(F.col("__sure")).select(point_id).dropDuplicates(),
+                drop_cols = ["__worst", "__cnt", "__sure"]
+            accepted = flags.filter(F.col("__sure")).drop(*drop_cols)
+            remaining = remaining.join(
+                flags.filter(F.col("__sure")).select(point_id).dropDuplicates(),
                 point_id,
                 "left_anti",
-            ).cache()
-            unresolved.count()
-            if prev_unresolved is not None:
-                prev_unresolved.unpersist(blocking=False)
-            prev_unresolved = unresolved
-            remaining = unresolved
+            )
         else:
             accepted = ranked
         out = accepted if out is None else out.unionByName(accepted)

@@ -744,7 +744,7 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .images import transform as TR
     from .sources import images as IMG
 
-    src = IMG.images_df(spark, N_MM_IMAGES)
+    src = IMG.images_table(spark, N_MM_IMAGES)
     resized = TR.resize_images(src, RESIZE_W, RESIZE_H)
     dec = resized.join(
         src.select("image_id", F.col("caption").alias("src_caption")), "image_id"

@@ -90,6 +90,25 @@ def images_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
     return spark.range(0, n, 1, partitions).mapInPandas(gen, SCHEMA)
 
 
+def images_table(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """The image+caption table as a REAL columnar table: generate once
+    (distributed, deterministic) to parquet, then scan.
+
+    This is the faithful stand-in for the north rule's Iceberg image table —
+    queries should scan stored bytes (column pruning, multiple consumers read
+    the same files), not re-run the generator per action. Cached per (n)
+    under the system temp dir; content is deterministic so reuse across
+    processes is safe.
+    """
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"hns_images_{n}_{partitions}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        images_df(spark, n, partitions).write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
+
+
 VIDEO_SCHEMA = T.StructType(
     [
         T.StructField("video_id", T.StringType(), False),

@@ -97,7 +97,9 @@ def merge_upsert_partitioned(
     staging = tempfile.mkdtemp(prefix="hns_merge_stage_")
     try:
         write_partitioned(merged, staging, partition_cols, dynamic=False)
-        staged = spark.read.parquet(staging)
+        # explicit schema: a merge whose touched partitions all emptied
+        # stages ZERO rows, and schema inference has no files to read
+        staged = spark.read.schema(merged.schema).parquet(staging)
         # touched partitions that dropped to zero rows are absent from the
         # staged output, so the dynamic overwrite below never rewrites them;
         # clear their directories explicitly (partition-count-scale collect,
