@@ -121,11 +121,17 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.manifest_summary(spark, out)
 
 
+N_CKPT_IMAGES = 800
+
+
 def _q_checkpoint_image_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule lineage over the IMAGE pipeline: checkpoint the
     tile-assigned image table per partition; manifests carry input
-    fingerprint, cell range, row count and xor pixel-hash digest. Rows-only
-    (phash derives from binary codecs)."""
+    fingerprint, cell range, row count and xor pixel-hash digest. The
+    SQL-derivable lineage fields (partition key, row count, tile-cell
+    range — lon/lat derive from the image index with the documented mixing
+    arithmetic) are oracle-checked; the pixel digest derives from binary
+    codecs and is value-verified in tests/test_checkpoint.py instead."""
     import tempfile
 
     from housenumbercore_spark import checkpoint as CP
@@ -133,14 +139,19 @@ def _q_checkpoint_image_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from housenumbercore_spark.sources import images as IMG
 
     def build(spark: SparkSession, key) -> DataFrame:
-        imgs = IMG.images_df(spark, 800).filter(F.pmod(F.shiftright("phash", 1), F.lit(4)) == int(key))
+        idx = F.substring("image_id", 4, 10).cast("long")
+        imgs = IMG.images_table(spark, N_CKPT_IMAGES).filter(
+            F.pmod(idx, F.lit(4)) == int(key)
+        )
         return PJ.tile_assign(imgs, TILE_RES).select(
             "image_id", "phash", "tile_id"
         )
 
     out = tempfile.mkdtemp(prefix="hns_img_ckpt_")
     CP.checkpointed_run(spark, build, [0, 1, 2, 3], out, "imgsnap", max_concurrency=2)
-    return CP.manifest_summary_full(spark, out)
+    return CP.manifest_summary_full(spark, out).select(
+        "partition", "input_fingerprint", "row_count", "cell_min", "cell_max"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -162,7 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_evaluation": P.evaluation_matched,
         "evaluation_counters": P.evaluation_counters,
         "street_catalog": P.street_catalog,
-        "street_merged_geometries": P.street_merged_geometries,  # engine-only
+        "street_merged_geometries": P.street_merged_geometries,
         "knn_nearest_street": lambda s, d: P.knn_nearest_street(s, d, k=1),
         "knn_nearest_street_k3": lambda s, d: P.knn_nearest_street(s, d, k=3),
         # training-data pipeline ops over documents/embeddings
@@ -229,11 +240,15 @@ def oracle_sql() -> dict[str, str]:
     from housenumbercore_spark.pipelines import (
         csv_import_roundtrip_sql,
         address_flags_sql,
+        audio_feature_stats_sql,
+        image_resize_stats_sql,
         lu_commune_lookup_sql,
         street_merge_stats_sql,
+        street_merged_wkt_sql,
         title_case_streets_sql,
         video_frame_sample_sql,
     )
+    from housenumbercore_spark.sources.images import images_lonlat_sql
 
     return {
         "csv_import_roundtrip": csv_import_roundtrip_sql(),
@@ -257,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "lu_commune_lookup": lu_commune_lookup_sql(),
         "address_flags": address_flags_sql(),
         "street_merge_stats": street_merge_stats_sql(),
+        "street_merged_geometries": street_merged_wkt_sql(),
         "title_case_streets": title_case_streets_sql(),
         "text_token_stats": TO.token_stats_sql(),
         "text_quality": TO.quality_sql(),
@@ -292,6 +308,15 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": (
             f"SELECT {cell_sql('lon', 'lat', TILE_RES)} AS tile_id, "
             f"COUNT(*) AS n_points FROM {pts} p GROUP BY 1"
+        ),
+        "image_resize_stats": image_resize_stats_sql(),
+        "audio_feature_stats": audio_feature_stats_sql(),
+        "checkpoint_image_lineage": (
+            "SELECT CAST(i % 4 AS VARCHAR) AS partition, "
+            "'imgsnap' AS input_fingerprint, COUNT(*) AS row_count, "
+            f"MIN({cell_sql('lon', 'lat', TILE_RES)}) AS cell_min, "
+            f"MAX({cell_sql('lon', 'lat', TILE_RES)}) AS cell_max "
+            f"FROM {images_lonlat_sql(N_CKPT_IMAGES)} img GROUP BY i % 4"
         ),
         "checkpoint_lineage": (
             "SELECT CAST(point_id % 4 AS VARCHAR) AS partition, "

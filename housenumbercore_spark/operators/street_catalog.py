@@ -155,14 +155,18 @@ def merge_street_geometries(assigned: DataFrame) -> DataFrame:
     )
 
     def merge(key, pdf):
+        # canonical input order: group rows arrive in shuffle order, and
+        # linemerge seeds chains in input order — sort so the output WKT is
+        # deterministic (and therefore oracle-checkable by value)
+        pdf = pdf.sort_values(["x0", "y0", "x1", "y1"], kind="mergesort")
         lines = [
             np.array([[r.x0, r.y0], [r.x1, r.y1]])
             for r in pdf.itertuples(index=False)
         ]
         merged = G.linemerge(lines)
-        parts = [
+        parts = sorted(
             "(" + ", ".join(f"{x:.7f} {y:.7f}" for x, y in m) + ")" for m in merged
-        ]
+        )
         wkt = (
             "MULTILINESTRING(" + ", ".join(parts) + ")"
             if len(merged) != 1

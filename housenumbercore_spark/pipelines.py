@@ -92,7 +92,8 @@ def street_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def street_merged_geometries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 linemerge per street (engine-only: WKT output, no SQL oracle)."""
+    """A2 linemerge per street — canonical WKT, value-checked against the
+    SQL chain reconstruction (street_merged_wkt_sql)."""
     from .operators import street_catalog as SC
     from .sources import streets as ST
     from .sources import synthetic as S
@@ -597,6 +598,53 @@ SELECT CAST(area_id AS BIGINT) AS area_id, name,
 FROM asg GROUP BY area_id, name"""
 
 
+def street_merged_wkt_sql() -> str:
+    """Value oracle for the full linemerge output: the synthetic network's
+    chains (seg1, optional seg2 sharing endpoint cx+h) are reconstructable
+    in SQL, and the engine's canonical WKT (sorted chain parts, %.7f
+    formatting) is reproduced with printf + ordered string_agg."""
+    from .oracles import areas_sql
+    from .sources.streets import HIGHWAY_WHITELIST, street_segments_sql
+
+    wl = ", ".join(f"'{h}'" for h in HIGHWAY_WHITELIST)
+    pt = "printf('%.7f %.7f', {x}, y)"
+    return f"""
+WITH segs AS (
+  SELECT *, osm_id // 10 AS street_key, osm_id % 10 AS part
+  FROM {street_segments_sql()} t WHERE highway IN ({wl})),
+areas AS (SELECT * FROM {areas_sql()} a WHERE admin_level = 8),
+asg AS (
+  SELECT s.street_key, s.name, s.part, s.x0, s.x1, s.y0, a.area_id
+  FROM segs s JOIN areas a
+    ON s.y0 >= a.ymin AND s.y0 <= a.ymax AND s.x1 >= a.xmin AND s.x0 <= a.xmax),
+chains AS (
+  SELECT area_id, name, street_key, COUNT(*) AS n_seg, MIN(y0) AS y,
+         MIN(CASE WHEN part = 0 THEN x0 END) AS s1x0,
+         MIN(CASE WHEN part = 0 THEN x1 END) AS s1x1,
+         MIN(CASE WHEN part = 1 THEN x0 END) AS s2x0,
+         MIN(CASE WHEN part = 1 THEN x1 END) AS s2x1
+  FROM asg GROUP BY area_id, name, street_key),
+fmt AS (
+  SELECT area_id, name, n_seg,
+    CASE
+      WHEN s1x0 IS NOT NULL AND s2x0 IS NOT NULL THEN
+        '(' || {pt.format(x='s1x0')} || ', ' || {pt.format(x='s1x1')}
+            || ', ' || {pt.format(x='s2x1')} || ')'
+      WHEN s1x0 IS NOT NULL THEN
+        '(' || {pt.format(x='s1x0')} || ', ' || {pt.format(x='s1x1')} || ')'
+      ELSE
+        '(' || {pt.format(x='s2x0')} || ', ' || {pt.format(x='s2x1')} || ')'
+    END AS chain
+  FROM chains)
+SELECT CAST(area_id AS BIGINT) AS area_id, name,
+       CAST(SUM(n_seg) AS INT) AS n_segments,
+       CAST(COUNT(*) AS INT) AS n_merged,
+       CASE WHEN COUNT(*) = 1 THEN 'LINESTRING' || MIN(chain)
+            ELSE 'MULTILINESTRING(' || string_agg(chain, ', ' ORDER BY chain) || ')'
+       END AS merged_wkt
+FROM fmt GROUP BY area_id, name"""
+
+
 def title_case_streets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: StreetToUpperLower title-casing over raw imported names."""
     from .norm import names as NM
@@ -785,11 +833,47 @@ FROM range({N_VIDEOS}) t(v) CROSS JOIN (VALUES {idxs}) f(frame_idx)"""
 
 
 def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction over PCM payloads (rows-only: float DSP)."""
+    """Audio decode plumbing, oracle-checked: the engine really unpacks the
+    PCM payload (zlib + int16) and the sample counts/durations it extracts
+    are integer-reproducible in SQL. Float DSP features (rms, zero-cross
+    rate) stay engine-side, value-tested in tests/test_images.py."""
     from .images import transform as TR
     from .sources import images as IMG
 
-    return TR.audio_features(IMG.audio_df(spark, N_AUDIO))
+    feats = TR.audio_features(IMG.audio_df(spark, N_AUDIO))
+    return feats.select(
+        "audio_id",
+        "sample_rate",
+        "n_samples",
+        F.floor(F.col("n_samples") * 1000 / F.col("sample_rate"))
+        .cast("long")
+        .alias("duration_ms"),
+    )
+
+
+def audio_feature_stats_sql() -> str:
+    from .sources.images import AUDIO_RATE
+
+    n = f"CAST({AUDIO_RATE} * (0.5 + (i % 4) / 4.0) AS BIGINT)"
+    return f"""
+SELECT 'aud' || lpad(CAST(i AS VARCHAR), 8, '0') AS audio_id,
+       CAST({AUDIO_RATE} AS INT) AS sample_rate,
+       {n} AS n_samples,
+       CAST(FLOOR({n} * 1000 / {AUDIO_RATE}) AS BIGINT) AS duration_ms
+FROM range({N_AUDIO}) t(i)"""
+
+
+def image_resize_stats_sql() -> str:
+    """The resize gate's expected aggregate: every one of the N_MM_IMAGES
+    rows must come back with the target dims and a byte-equal caption. The
+    engine earns these counts by actually decoding, resampling and
+    re-encoding; the oracle pins the only SQL-expressible part (the binary
+    codecs themselves are value-tested in tests/test_images.py)."""
+    n = N_MM_IMAGES
+    return (
+        f"SELECT CAST({n} AS BIGINT) AS n_rows, CAST({n} AS BIGINT) AS n_dim_ok, "
+        f"CAST({n} AS BIGINT) AS n_caption_ok"
+    )
 
 
 # Multi-resolution exact kNN: fine rings bound candidates per point (the

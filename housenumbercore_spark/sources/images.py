@@ -14,6 +14,8 @@ spatial-join path at the 10¹²-row target shape.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +26,8 @@ from . import synthetic as S
 
 IMG_W = 16
 IMG_H = 16
+
+_IMAGES_TABLE_LOCK = threading.Lock()
 
 SCHEMA = T.StructType(
     [
@@ -90,6 +94,24 @@ def images_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
     return spark.range(0, n, 1, partitions).mapInPandas(gen, SCHEMA)
 
 
+def images_lonlat_sql(n: int) -> str:
+    """DuckDB subquery reproducing each image's (idx, lon, lat) — the same
+    mixing arithmetic as :func:`_row_for`, so tile/cell lineage over the
+    image table is SQL-checkable even though pixels are not."""
+    u = f"(((i * {S._MIX_A}) % {S._MOD}) + 0.5) / {S._MOD}.0"
+    v = f"(((i * {S._MIX_B}) % {S._MOD}) + 0.5) / {S._MOD}.0"
+    hot = "(i % 10) < 3"
+    lon = (
+        f"CASE WHEN {hot} THEN ({u}) * {S.HOT_SPAN!r} + {S.HOT_LON0!r} "
+        f"ELSE ({u}) * {S.LON_SPAN!r} + {S.LON0!r} END"
+    )
+    lat = (
+        f"CASE WHEN {hot} THEN ({v}) * {S.HOT_SPAN!r} + {S.HOT_LAT0!r} "
+        f"ELSE ({v}) * {S.LAT_SPAN!r} + {S.LAT0!r} END"
+    )
+    return f"(SELECT i, {lon} AS lon, {lat} AS lat FROM range({n}) t(i))"
+
+
 def images_table(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
     """The image+caption table as a REAL columnar table: generate once
     (distributed, deterministic) to parquet, then scan.
@@ -101,11 +123,28 @@ def images_table(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
     processes is safe.
     """
     import os
+    import shutil
     import tempfile
+    import uuid
 
     d = os.path.join(tempfile.gettempdir(), f"hns_images_{n}_{partitions}")
-    if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        images_df(spark, n, partitions).write.mode("overwrite").parquet(d)
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        with _IMAGES_TABLE_LOCK:  # concurrent threads (checkpoint runner)
+            if not os.path.exists(marker):
+                # write to a private dir, publish via atomic rename — two
+                # processes racing would otherwise interleave part files
+                tmp = f"{d}.tmp-{uuid.uuid4().hex}"
+                images_df(spark, n, partitions).write.mode("overwrite").parquet(tmp)
+                try:
+                    if os.path.exists(d) and not os.path.exists(marker):
+                        shutil.rmtree(d, ignore_errors=True)  # stale partial
+                    os.rename(tmp, d)
+                except OSError:
+                    # lost a cross-process race; the winner's table is valid
+                    if not os.path.exists(marker):
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(d)
 
 

@@ -137,16 +137,41 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dedup_pairs(docs: DataFrame, k: int = 2) -> DataFrame:
-    """MinHash LSH candidates verified with exact shingle Jaccard."""
+def minhash_dedup_pairs(
+    docs: DataFrame, k: int = 2, min_sig_agree: int = 8
+) -> DataFrame:
+    """MinHash LSH candidates → signature-estimate prefilter → exact
+    shingle-Jaccard verify.
+
+    The prefilter drops candidate pairs whose signatures agree on fewer
+    than ``min_sig_agree`` of the 32 components (estimated Jaccard <
+    min_sig_agree/32) BEFORE the full shingle arrays are joined — at the
+    10¹²-doc shape the verify join is the only place document-sized
+    payloads move, and one hot LSH bucket must not drag every shingle set
+    of its members across the wire. A shared band already guarantees
+    MINHASH_ROWS agreeing components, so the bar only bites above that."""
     sh = with_shingle_hashes(docs, k).select("doc_id", "shingles")
-    pairs = lsh_candidate_pairs(minhash_bands(minhash_signatures(docs, k)))
+    sigs = minhash_signatures(docs, k)
+    pairs = lsh_candidate_pairs(minhash_bands(sigs))
+    siga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
+    sigb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
+    agree = F.expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, "
+        "(acc, v) -> acc + v)"
+    )
+    screened = (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("__agree", agree)
+        .filter(F.col("__agree") >= min_sig_agree)
+        .select("doc_a", "doc_b")
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     return (
-        pairs.join(a, "doc_a")
+        screened.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
@@ -215,28 +240,40 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 24) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.2
+    docs: DataFrame, k: int = 3, threshold: float = 0.2, max_df: int = 100
 ) -> DataFrame:
-    """Exact n-gram Jaccard via the inverted-index join: explode distinct
-    shingles, self-join on shingle (only pairs sharing >=1 shingle are ever
-    materialized), count intersections per pair, derive Jaccard."""
-    sh = with_shingle_hashes(docs, k).select(
-        "doc_id", F.size("shingles").alias("n_sh"), "shingles"
+    """n-gram Jaccard via the inverted-index join with a document-frequency
+    cap, then an exact array verify.
+
+    Candidate generation explodes shingle HASHES (narrow int64 shuffle, not
+    strings) and drops shingles whose document frequency exceeds ``max_df``
+    before the self-join: one stop-word-like shingle shared by f documents
+    otherwise materializes f² join rows — the quadratic blowup a 100 TB
+    corpus cannot afford. Capped shingles carry negligible Jaccard signal;
+    the reported pairs' Jaccard values stay EXACT because the verify step
+    recomputes them from the full distinct-shingle arrays. Recall caveat
+    (documented contract): a pair whose every common shingle is hotter than
+    ``max_df`` is not reported."""
+    sh = with_shingle_hashes(docs, k).select("doc_id", "shingles", "sh31")
+    inv = sh.select("doc_id", F.explode("sh31").alias("h"))
+    hot = inv.groupBy("h").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") > max_df
     )
-    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    left = inv.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
-    )
-    right = inv.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
-    )
-    inter = (
-        left.join(right, "shingle")
+    rare = inv.join(hot.select("h"), "h", "left_anti")
+    pairs = (
+        rare.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "h"), "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return inter.select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -193,16 +193,28 @@ def minhash_buckets_sql(k: int = 2) -> str:
     )
 
 
-def minhash_pairs_sql(k: int = 2) -> str:
+def minhash_pairs_sql(k: int = 2, min_sig_agree: int = 8) -> str:
+    # mirror the engine's signature-estimate prefilter (dedup.py
+    # minhash_dedup_pairs): count agreeing signature components per pair
+    agree = (
+        "list_sum(list_transform(generate_series(1, "
+        f"{len(MINHASH_A)}), i -> CASE WHEN ga.sig[i] = gb.sig[i] "
+        "THEN 1 ELSE 0 END))"
+    )
     return (
         _minhash_ctes(k)
-        + f"""
+        + f""",
+screened AS (
+  SELECT p.doc_a, p.doc_b FROM pairs p
+  JOIN sigs ga ON ga.doc_id = p.doc_a
+  JOIN sigs gb ON gb.doc_id = p.doc_b
+  WHERE {agree} >= {min_sig_agree})
 SELECT p.doc_a, p.doc_b,
   CAST(round(len(list_intersect(sa.shingles, sb.shingles))
     / (len(sa.shingles) + len(sb.shingles)
        - len(list_intersect(sa.shingles, sb.shingles))), 6) AS DOUBLE)
   AS jaccard
-FROM pairs p
+FROM screened p
 JOIN shing sa ON sa.doc_id = p.doc_a
 JOIN shing sb ON sb.doc_id = p.doc_b"""
     )
@@ -250,20 +262,29 @@ WHERE hamming <= {max_hamming}"""
     )
 
 
-def ngram_jaccard_sql(k: int = 3, threshold: float = 0.2) -> str:
+def ngram_jaccard_sql(
+    k: int = 3, threshold: float = 0.2, max_df: int = 100
+) -> str:
+    # mirror the engine's DF-capped candidate generation over shingle
+    # HASHES + exact array verify (dedup.py ngram_jaccard_pairs)
     return f"""
 WITH {_shingle_cte(k)},
 inv AS (
-  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
-  FROM shing),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS n_inter
-  FROM inv a JOIN inv b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
+  SELECT doc_id, unnest(hs) AS h FROM sh31),
+hot AS (
+  SELECT h FROM inv GROUP BY h HAVING COUNT(*) > {max_df}),
+rare AS (
+  SELECT * FROM inv WHERE h NOT IN (SELECT h FROM hot)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, jaccard FROM (
-  SELECT doc_a, doc_b,
-    CAST(round(n_inter / (na + nb - n_inter), 6) AS DOUBLE) AS jaccard
-  FROM inter) t
+  SELECT p.doc_a, p.doc_b,
+    CAST(round(len(list_intersect(sa.shingles, sb.shingles))
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))), 6) AS DOUBLE)
+    AS jaccard
+  FROM pairs p
+  JOIN shing sa ON sa.doc_id = p.doc_a
+  JOIN shing sb ON sb.doc_id = p.doc_b) t
 WHERE jaccard >= {threshold}"""
