@@ -1,0 +1,262 @@
+"""ESRI Shapefile on-ramp: distributed .shp/.dbf → DataFrame.
+
+The reference ingests official street/housenumber lists from shapefiles
+with a hand-rolled reader (util/ShapeReader.java:155-372, driven by
+imports/ShapeListImport.java — e.g. the Italian national list, 13.9 M
+records). This module is the Spark-native on-ramp for the same format:
+
+- each ``.shp``/``.dbf`` pair is ONE unit of parallelism: files load via
+  Spark's ``binaryFile`` source and parse inside ``mapInPandas`` on the
+  executors — a directory of per-region shapefiles (the national-list
+  layout) fans out across the cluster with no driver-side I/O;
+- the parser is from-scratch pure python/numpy (no GDAL in this
+  environment): shape types Point (1), PolyLine (3), Polygon (5) and the
+  dBase III attribute table (C/N/F/L/D fields);
+- geometries come out as the engine's WKB (geo.geometry), attributes as a
+  ``map<string,string>`` — downstream, :func:`addresses_from_shapefile`
+  projects the configured attribute names onto the engine's official-list
+  schema, after which the normal pipelines (hnr explode, match evaluation,
+  street catalog) apply unchanged.
+
+A minimal writer (:func:`write_shapefile_pair`) exists so round-trip tests
+need no binary fixtures; it emits the same subset the reader supports.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import geometry as G
+
+SHAPE_NULL = 0
+SHAPE_POINT = 1
+SHAPE_POLYLINE = 3
+SHAPE_POLYGON = 5
+
+_SHAPE_NAMES = {
+    SHAPE_NULL: "null",
+    SHAPE_POINT: "point",
+    SHAPE_POLYLINE: "polyline",
+    SHAPE_POLYGON: "polygon",
+}
+
+
+# ---------------------------------------------------------------------------
+# parsers (bytes → python records); run on executors
+# ---------------------------------------------------------------------------
+
+def parse_shp(buf: bytes) -> list[tuple[int, str, float, float, bytes]]:
+    """.shp bytes → [(rec_no, shape_type, x, y, wkb)].
+
+    (x, y) is the point itself for Point shapes and the first vertex for
+    lines/polygons (a cheap anchor for cell encoding before the exact WKB
+    path). WKB uses the engine's writer (geo.geometry).
+    """
+    (code,) = struct.unpack_from(">I", buf, 0)
+    if code != 9994:
+        raise ValueError("not a shapefile (.shp magic 9994 missing)")
+    (file_len_words,) = struct.unpack_from(">I", buf, 24)
+    end = file_len_words * 2
+    out = []
+    off = 100
+    while off < min(end, len(buf)):
+        rec_no, content_words = struct.unpack_from(">II", buf, off)
+        off += 8
+        (stype,) = struct.unpack_from("<I", buf, off)
+        if stype == SHAPE_NULL:
+            out.append((rec_no, "null", float("nan"), float("nan"), b""))
+        elif stype == SHAPE_POINT:
+            x, y = struct.unpack_from("<dd", buf, off + 4)
+            out.append((rec_no, "point", x, y, G.point_wkb(x, y)))
+        elif stype in (SHAPE_POLYLINE, SHAPE_POLYGON):
+            n_parts, n_points = struct.unpack_from("<ii", buf, off + 36)
+            parts = np.frombuffer(buf, "<i4", n_parts, off + 44)
+            pts = np.frombuffer(
+                buf, "<f8", 2 * n_points, off + 44 + 4 * n_parts
+            ).reshape(n_points, 2)
+            bounds = np.append(parts, n_points)
+            rings = [pts[bounds[i]:bounds[i + 1]] for i in range(n_parts)]
+            if stype == SHAPE_POLYGON:
+                wkb = G.polygon_wkb([r.copy() for r in rings])
+            else:
+                # multi-part lines: emit the first part's WKB (parity with
+                # ShapeReader.java which iterates parts; multi-part street
+                # geometries re-merge downstream via linemerge)
+                wkb = G.linestring_wkb(rings[0].copy())
+            x, y = float(pts[0, 0]), float(pts[0, 1])
+            out.append((rec_no, _SHAPE_NAMES[stype], x, y, wkb))
+        else:
+            raise ValueError(f"unsupported shape type {stype}")
+        off += content_words * 2
+    return out
+
+
+def parse_dbf(buf: bytes) -> list[tuple[int, dict[str, str]]]:
+    """.dbf bytes → [(rec_no, {field: value-as-string})]; rec_no is 1-based
+    to align with .shp record numbers."""
+    n_records, header_size, record_size = struct.unpack_from("<IHH", buf, 4)
+    fields = []
+    off = 32
+    while off < header_size - 1 and buf[off] != 0x0D:
+        raw_name = buf[off:off + 11].split(b"\x00")[0]
+        ftype = chr(buf[off + 11])
+        flen = buf[off + 16]
+        fields.append((raw_name.decode("ascii", "replace"), ftype, flen))
+        off += 32
+    out = []
+    pos = header_size
+    for i in range(n_records):
+        if pos + record_size > len(buf):
+            break
+        rec = buf[pos:pos + record_size]
+        pos += record_size
+        if rec[0:1] == b"*":  # deleted
+            continue
+        vals = {}
+        p = 1
+        for name, ftype, flen in fields:
+            raw = rec[p:p + flen]
+            p += flen
+            vals[name] = raw.decode("latin-1").strip()
+        out.append((i + 1, vals))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark on-ramp
+# ---------------------------------------------------------------------------
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType(), False),
+        T.StructField("rec_no", T.IntegerType(), False),
+        T.StructField("shape_type", T.StringType(), False),
+        T.StructField("x", T.DoubleType(), True),
+        T.StructField("y", T.DoubleType(), True),
+        T.StructField("wkb", T.BinaryType(), True),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def read_shapefiles(spark: SparkSession, path_glob: str) -> DataFrame:
+    """All ``.shp`` (+ sibling ``.dbf``) under ``path_glob`` → one row per
+    record: (source_file, rec_no, shape_type, x, y, wkb, attrs).
+
+    Parallelism unit = file pair (binaryFile source); the per-pair parse is
+    executor-side. The sibling ``.dbf`` is read from the shared filesystem
+    next to its ``.shp`` — on a cluster that is the same distributed store
+    the binaryFile scan itself uses.
+    """
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                local = path[len("file:"):] if path.startswith("file:") else path
+                stem = os.path.splitext(os.path.basename(local))[0]
+                shapes = parse_shp(bytes(content))
+                dbf_path = os.path.splitext(local)[0] + ".dbf"
+                attrs: dict[int, dict[str, str]] = {}
+                if os.path.exists(dbf_path):
+                    with open(dbf_path, "rb") as f:
+                        attrs = dict(parse_dbf(f.read()))
+                for rec_no, stype, x, y, wkb in shapes:
+                    rows.append(
+                        (stem, rec_no, stype, x, y, wkb, attrs.get(rec_no))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in _SCHEMA.fields]
+                )
+
+    return files.mapInPandas(gen, _SCHEMA)
+
+
+def addresses_from_shapefile(
+    shapes: DataFrame,
+    street_attr: str = "STREET",
+    housenumber_attr: str = "HOUSENUM",
+    city_attr: str | None = "CITY",
+) -> DataFrame:
+    """Project shapefile records onto the engine's official-list shape
+    (ShapeListImport.java's attribute mapping, configurable per source):
+    (source_file, rec_no, street, housenumber, city, lon, lat)."""
+    sel = [
+        "source_file",
+        "rec_no",
+        F.col("attrs").getItem(street_attr).alias("street"),
+        F.col("attrs").getItem(housenumber_attr).alias("housenumber"),
+        F.col("x").alias("lon"),
+        F.col("y").alias("lat"),
+    ]
+    if city_attr:
+        sel.insert(4, F.col("attrs").getItem(city_attr).alias("city"))
+    return shapes.filter(F.col("shape_type") == "point").select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (round-trip tests; same subset the reader supports)
+# ---------------------------------------------------------------------------
+
+def write_shapefile_pair(
+    base_path: str,
+    points: list[tuple[float, float]],
+    attrs: list[dict[str, str]],
+    field_len: int = 40,
+) -> None:
+    """Write ``base_path``.shp/.dbf with Point records + C-type attributes."""
+    recs = []
+    for i, (x, y) in enumerate(points):
+        content = struct.pack("<Idd", SHAPE_POINT, x, y)
+        recs.append(struct.pack(">II", i + 1, len(content) // 2) + content)
+    body = b"".join(recs)
+    xs = [p[0] for p in points] or [0.0]
+    ys = [p[1] for p in points] or [0.0]
+    header = struct.pack(
+        ">7I", 9994, 0, 0, 0, 0, 0, (100 + len(body)) // 2
+    ) + struct.pack("<II", 1000, SHAPE_POINT) + struct.pack(
+        "<8d", min(xs), min(ys), max(xs), max(ys), 0, 0, 0, 0
+    )
+    with open(base_path + ".shp", "wb") as f:
+        f.write(header + body)
+
+    names = sorted({k for a in attrs for k in a})
+    fdescs = b""
+    for name in names:
+        fdescs += (
+            name.encode("ascii")[:10].ljust(11, b"\x00")
+            + b"C"
+            + b"\x00" * 4
+            + bytes([field_len])
+            + b"\x00" * 15
+        )
+    header_size = 32 + len(fdescs) + 1
+    record_size = 1 + field_len * len(names)
+    dbf_header = (
+        bytes([0x03, 124, 1, 1])
+        + struct.pack("<IHH", len(attrs), header_size, record_size)
+        + b"\x00" * 20
+        + fdescs
+        + b"\x0d"
+    )
+    with open(base_path + ".dbf", "wb") as f:
+        f.write(dbf_header)
+        for a in attrs:
+            rec = b" "
+            for name in names:
+                rec += a.get(name, "").encode("latin-1")[:field_len].ljust(
+                    field_len, b" "
+                )
+            f.write(rec)
+        f.write(b"\x1a")

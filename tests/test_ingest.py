@@ -1,0 +1,160 @@
+"""Ingestion on-ramps: Shapefile and OSM XML round-trips into the engine's
+address schema (ref util/ShapeReader.java:155-372, util/OsmReader.java:45-468)."""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import functions as F
+
+from housenumbercore_spark.sources import osm_xml as OX
+from housenumbercore_spark.sources import shapefile as SH
+
+
+def test_shapefile_roundtrip_to_addresses(spark, tmp_path):
+    pts = [(6.08, 50.77), (6.09, 50.78), (6.10, 50.79)]
+    attrs = [
+        {"STREET": "Jakobstraße", "HOUSENUM": "12", "CITY": "Aachen"},
+        {"STREET": "Pontstraße", "HOUSENUM": "1-3", "CITY": "Aachen"},
+        {"STREET": "Via Roma", "HOUSENUM": "7b", "CITY": "Aosta"},
+    ]
+    base = str(tmp_path / "list_region1")
+    SH.write_shapefile_pair(base, pts, attrs)
+
+    shapes = SH.read_shapefiles(spark, str(tmp_path / "*.shp"))
+    got = shapes.orderBy("rec_no").collect()
+    assert [r.shape_type for r in got] == ["point"] * 3
+    assert got[0].attrs["STREET"] == "Jakobstraße"
+    assert abs(got[2].x - 6.10) < 1e-12 and abs(got[2].y - 50.79) < 1e-12
+
+    addr = SH.addresses_from_shapefile(shapes).orderBy("rec_no").collect()
+    assert [(r.street, r.housenumber, r.city) for r in addr] == [
+        ("Jakobstraße", "12", "Aachen"),
+        ("Pontstraße", "1-3", "Aachen"),
+        ("Via Roma", "7b", "Aosta"),
+    ]
+    # the on-ramp output feeds the normal engine path (hnr explode)
+    from housenumbercore_spark.norm import housenumbers as HN
+
+    exploded = HN.explode_housenumbers(
+        spark.createDataFrame(
+            [(r.rec_no, r.housenumber) for r in addr],
+            "rec_id long, housenumber string",
+        )
+    )
+    got_h = sorted((r.rec_id, r.housenumber) for r in exploded.collect())
+    assert got_h == [(1, "12"), (2, "1"), (2, "3"), (3, "7b")]
+
+
+def test_shapefile_polygon_and_polyline_wkb(spark, tmp_path):
+    import struct
+
+    import numpy as np
+
+    from housenumbercore_spark.geo import geometry as G
+
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    content = struct.pack("<I", SH.SHAPE_POLYGON)
+    content += struct.pack("<4d", 0, 0, 4, 4)
+    content += struct.pack("<ii", 1, len(ring))
+    content += struct.pack("<i", 0)
+    content += ring.astype("<f8").tobytes()
+    rec = struct.pack(">II", 1, len(content) // 2) + content
+    header = struct.pack(">7I", 9994, 0, 0, 0, 0, 0, (100 + len(rec)) // 2)
+    header += struct.pack("<II", 1000, SH.SHAPE_POLYGON)
+    header += struct.pack("<8d", 0, 0, 4, 4, 0, 0, 0, 0)
+    shp = tmp_path / "poly.shp"
+    shp.write_bytes(header + rec)
+
+    rows = SH.read_shapefiles(spark, str(shp)).collect()
+    assert len(rows) == 1 and rows[0].shape_type == "polygon"
+    poly = G.parse_wkb(bytes(rows[0].wkb))
+    assert G.covers(poly, np.array([2.0]), np.array([2.0]))[0]
+    assert not G.covers(poly, np.array([5.0]), np.array([2.0]))[0]
+
+
+OSM_FIXTURE = textwrap.dedent("""\
+    <?xml version="1.0" encoding="UTF-8"?>
+    <osm version="0.6">
+      <node id="1" lat="50.77" lon="6.08">
+        <tag k="addr:street" v="Jakobstraße"/>
+        <tag k="addr:housenumber" v="12"/>
+        <tag k="addr:city" v="Aachen"/>
+      </node>
+      <node id="2" lat="50.78" lon="6.10"/>
+      <node id="3" lat="50.80" lon="6.12"/>
+      <node id="4" lat="50.90" lon="6.20">
+        <tag k="highway" v="bus_stop"/>
+      </node>
+      <way id="10">
+        <nd ref="2"/>
+        <nd ref="3"/>
+        <tag k="addr:street" v="Pontstraße"/>
+        <tag k="addr:housenumber" v="5"/>
+      </way>
+      <way id="11">
+        <nd ref="2"/>
+        <nd ref="4"/>
+        <tag k="highway" v="residential"/>
+        <tag k="name" v="Pontstraße"/>
+      </way>
+      <relation id="100">
+        <member type="way" ref="11" role="street"/>
+        <member type="node" ref="1" role="house"/>
+        <tag k="type" v="associatedStreet"/>
+        <tag k="name" v="Pontstraße"/>
+      </relation>
+    </osm>
+""")
+
+
+def test_osm_xml_elements_and_addresses(spark, tmp_path):
+    p = tmp_path / "fixture.osm"
+    p.write_text(OSM_FIXTURE, encoding="utf-8")
+    osm = OX.read_osm_xml(spark, str(p))
+
+    kinds = {r.kind: r["count"] for r in osm.groupBy("kind").count().collect()}
+    assert kinds == {"node": 4, "way": 2, "relation": 1}
+
+    ways = {r.osm_id: r.refs for r in OX.osm_ways(osm).collect()}
+    assert ways[10] == [2, 3] and ways[11] == [2, 4]
+
+    rel = OX.osm_relations(osm).collect()[0]
+    assert rel.tags["type"] == "associatedStreet"
+    assert [(m.mtype, m.ref, m.role) for m in rel.members] == [
+        ("way", 11, "street"),
+        ("node", 1, "house"),
+    ]
+
+    cent = {r.osm_id: (r.lon, r.lat) for r in OX.way_centroids(osm).collect()}
+    assert abs(cent[10][0] - 6.11) < 1e-9 and abs(cent[10][1] - 50.79) < 1e-9
+
+    addr = {r.osm_id: r for r in OX.addresses_from_osm(osm).collect()}
+    assert addr[1].kind == "node" and addr[1].street == "Jakobstraße"
+    assert addr[1].housenumber == "12" and addr[1].city == "Aachen"
+    assert addr[10].kind == "way" and addr[10].housenumber == "5"
+    assert abs(addr[10].lon - 6.11) < 1e-9
+    assert set(addr) == {1, 10}  # untagged elements excluded
+
+
+def test_osm_xml_feeds_associated_street_operator(spark, tmp_path):
+    """The parsed relation drives the engine's associatedStreet join (J8)."""
+    from housenumbercore_spark.operators import relations as R
+
+    p = tmp_path / "fixture.osm"
+    p.write_text(OSM_FIXTURE, encoding="utf-8")
+    osm = OX.read_osm_xml(spark, str(p))
+
+    rels = OX.osm_relations(osm).select(
+        F.col("osm_id").alias("rel_id"),
+        F.col("tags").getItem("name").alias("name"),
+        F.expr("transform(members, m -> m.ref)").alias("members"),
+    )
+    objs = spark.createDataFrame(
+        [(1, None, "12"), (11, None, None)],
+        "osm_id long, street string, housenumber string",
+    )
+    out = {r.osm_id: r for r in
+           R.resolve_associated_street(objs, rels).collect()}
+    assert out[1].effective_street == "Pontstraße"
+    assert out[1].rel_id == 100
