@@ -357,39 +357,41 @@ def seg_cover_cells_cols(
 
 def refine_covers(
     cand: DataFrame,
-    polygons: dict[int, bytes],
-    spark,
     id_col: str = "area_id",
     lon: str = "lon",
     lat: str = "lat",
     predicate: str = "covers",
+    wkb_col: str = "__wkb",
 ) -> DataFrame:
     """Exact point-in-polygon filter on cell-join candidates.
 
-    ``polygons`` (area_id → WKB) is broadcast once per executor via
-    SparkContext.broadcast; parsed geometries are cached per Python worker.
-    """
+    The polygon WKB rides on each candidate row (``wkb_col`` — attached by
+    a broadcast join against the area dim, so bytes move executor-to-
+    executor once per build, never through a driver collect); parsed
+    geometries are cached per Python worker keyed by area id."""
     pred_fn = {"covers": G.covers, "contains": G.contains_point}[predicate]
-    bc = spark.sparkContext.broadcast(polygons)
-    schema = cand.schema
+    out_schema = T.StructType(
+        [f for f in cand.schema.fields if f.name != wkb_col]
+    )
+    out_cols = [f.name for f in out_schema.fields]
 
     def gen(batches):
         parsed: dict = {}
-        pmap = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
             px = pdf[lon].to_numpy(dtype=np.float64)
             py = pdf[lat].to_numpy(dtype=np.float64)
+            wkbs = pdf[wkb_col].values
             for aid, idx in pdf.groupby(id_col, sort=False).indices.items():
                 poly = parsed.get(aid)
                 if poly is None:
-                    poly = parsed[aid] = G.parse_wkb(bytes(pmap[aid]))
+                    poly = parsed[aid] = G.parse_wkb(bytes(wkbs[idx[0]]))
                 keep[idx] = pred_fn(poly, px[idx], py[idx])
-            yield pdf[keep]
+            yield pdf.loc[keep, out_cols]
 
-    return cand.mapInPandas(gen, schema)
+    return cand.mapInPandas(gen, out_schema)
 
 
 def assign_points_to_areas(
@@ -431,14 +433,15 @@ def assign_points_to_areas(
     if refine == "jvm":
         return cand.filter(jvm_refine_expr(lon, lat)).drop(*refine_cols)
     # python path: interior cells accepted by construction, boundary cells
-    # through the vectorized exact kernel
+    # through the vectorized exact kernel; the polygon WKB reaches the
+    # refine via a broadcast dim join (no driver-side collect)
     interior = cand.filter(F.col("full")).drop(*refine_cols)
     boundary = cand.filter(~F.col("full")).drop(*refine_cols)
-    polygons = {
-        r[0]: bytes(r[1]) for r in areas.select(id_col, wkb_col).collect()
-    }
-    refined = refine_covers(boundary, polygons, spark, id_col=id_col, lon=lon,
-                            lat=lat, predicate=predicate)
+    wkb_dim = areas.select(id_col, F.col(wkb_col).alias("__wkb"))
+    refined = refine_covers(
+        boundary.join(F.broadcast(wkb_dim), id_col),
+        id_col=id_col, lon=lon, lat=lat, predicate=predicate,
+    )
     return interior.unionByName(refined)
 
 

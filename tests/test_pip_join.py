@@ -158,6 +158,32 @@ def test_jvm_refine_vertex_collinear_degeneracy(spark):
     assert got == want
 
 
+def test_python_refine_matches_jvm_and_is_collect_free(spark, world):
+    """The non-default python refine path must agree with the JVM parity
+    transport and must not collect polygons to the driver (WKB rides the
+    broadcast dim join instead)."""
+    import inspect
+
+    pts, areas = world
+    a = (
+        PJ.assign_points_to_areas(spark, pts, areas, refine="jvm")
+        .select("point_id", "area_id")
+        .toPandas()
+        .sort_values(["point_id", "area_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        PJ.assign_points_to_areas(spark, pts, areas, refine="python")
+        .select("point_id", "area_id")
+        .toPandas()
+        .sort_values(["point_id", "area_id"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert ".collect()" not in inspect.getsource(PJ.refine_covers)
+    assert ".collect()" not in inspect.getsource(PJ.assign_points_to_areas)
+
+
 def test_salted_join_same_result(spark, world):
     pts, areas = world
     res = PJ.pick_join_res(areas)
