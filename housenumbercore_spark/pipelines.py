@@ -598,6 +598,38 @@ SELECT CAST(area_id AS BIGINT) AS area_id, name,
 FROM asg GROUP BY area_id, name"""
 
 
+WINDOW_BOX = (6.3, 50.2, 6.9, 50.7)  # lon_min, lat_min, lon_max, lat_max
+
+
+def spatial_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout path end to end: write the point table cell-
+    partitioned + Morton-sorted, then answer a bbox window query through
+    partition pruning + parquet pushdown (sources/layout.py). The oracle
+    is the plain rectangle predicate — pruning must not change results."""
+    import tempfile
+
+    from .sources import layout as L
+    from .sources import synthetic as S
+
+    pts = S.points_df(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="hns_layout_q_")
+    L.write_spatial(pts, path, part_res=8)
+    return L.read_window(spark, path, *WINDOW_BOX, part_res=8).select(
+        "point_id", "lon", "lat"
+    )
+
+
+def spatial_window_read_sql() -> str:
+    from .sources.synthetic import points_sql
+
+    x0, y0, x1, y1 = WINDOW_BOX
+    return (
+        f"SELECT point_id, lon, lat FROM {points_sql()} p "
+        f"WHERE lon >= {x0!r} AND lon <= {x1!r} "
+        f"AND lat >= {y0!r} AND lat <= {y1!r}"
+    )
+
+
 def street_merged_wkt_sql() -> str:
     """Value oracle for the full linemerge output: the synthetic network's
     chains (seg1, optional seg2 sharing endpoint cx+h) are reconstructable

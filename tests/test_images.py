@@ -41,6 +41,47 @@ class TestCodec:
         )
         assert (codec.decode_png(buf) == px).all()
 
+    def test_png_all_filter_types_decode(self):
+        # one row per filter type 0..4 (spec-built deltas) — covers the
+        # vectorized Sub path and the sequential Average/Paeth scans
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(11)
+        w, h, bpp = 9, 5, 3
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        flat = px.reshape(h, w * 3).astype(np.int32)
+        rows = []
+        for y, ft in enumerate([0, 1, 2, 3, 4]):
+            prev = flat[y - 1] if y > 0 else np.zeros(w * 3, dtype=np.int32)
+            line = np.zeros(w * 3, dtype=np.int32)
+            for x in range(w * 3):
+                a = flat[y, x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (flat[y, x] - pred) & 0xFF
+            rows.append(bytes([ft]) + line.astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        buf = (
+            codec.PNG_SIG
+            + codec._chunk(b"IHDR", ihdr)
+            + codec._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + codec._chunk(b"IEND", b"")
+        )
+        assert (codec.decode_png(buf) == px).all()
+
     def test_jpgq_lossy_psnr_above_40(self):
         for i in (0, 5, 123):
             px = IMG.make_pixels(i)
