@@ -29,9 +29,14 @@ QUERIES = [
     "lu_commune_lookup",
     "video_frame_sample",
     "street_merge_stats",
+    "street_merged_geometries",
     "title_case_streets",
     "stream_user_state",
     "address_flags",
+    "audio_feature_stats",
+    "image_resize_stats",
+    "checkpoint_image_lineage",
+    "spatial_window_read",
 ]
 
 
