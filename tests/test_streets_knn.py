@@ -75,3 +75,48 @@ def test_knn_ring_expansion_covers_targets(spark):
     )
     out = KN.knn_nearest(pts, targets, res=8, k_ring=1).collect()
     assert len(out) == 1 and out[0].street_key == 7
+
+
+def test_streets_in_areas_touch_and_collinear_degeneracies(spark):
+    """Inclusive intersect semantics on exact touch cases, validated per
+    segment against the python kernel (line_intersects_polygon)."""
+    import numpy as np
+
+    from housenumbercore_spark.geo import geometry as G
+    from housenumbercore_spark.operators import street_catalog as SC
+
+    rect = G.polygon_wkb(
+        [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])]
+    )
+    areas = spark.createDataFrame(
+        [(1, bytearray(rect), 0.0, 0.0, 4.0, 4.0)],
+        "area_id long, polygon binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    segs = [
+        (1, 1.0, 1.0, 3.0, 1.0),    # fully inside
+        (2, -1.0, 2.0, 2.0, 2.0),   # crosses the west edge
+        (3, 1.0, 4.0, 3.0, 4.0),    # collinear ALONG the top edge (touch)
+        (4, 5.0, 5.0, 6.0, 6.0),    # fully outside
+        (5, 4.0, 4.0, 5.0, 5.0),    # endpoint0 exactly ON the corner
+        (6, -2.0, -2.0, -1.0, -1.0),  # outside, pointing at the corner
+        (7, 0.0, 5.0, 5.0, 0.0),    # diagonal clipping the corner region
+        (8, 4.0, -1.0, 4.0, 5.0),   # collinear along the east edge, longer
+    ]
+    streets = spark.createDataFrame(
+        segs, "osm_id long, x0 double, y0 double, x1 double, y1 double"
+    )
+    got = {
+        r.osm_id
+        for r in SC.streets_in_areas(spark, streets, areas, res=6)
+        .select("osm_id")
+        .collect()
+    }
+    poly = G.parse_wkb(rect)
+    want = {
+        oid
+        for oid, x0, y0, x1, y1 in segs
+        if G.line_intersects_polygon(poly, np.array([[x0, y0], [x1, y1]]))
+    }
+    assert got == want
+    assert {1, 2, 3, 5, 7, 8} <= got and 4 not in got and 6 not in got
