@@ -89,3 +89,31 @@ def test_merge_upsert_clears_emptied_partition(spark):
     got = spark.read.parquet(path)
     assert got.count() == 5
     assert [r.job_id for r in got.select("job_id").distinct().collect()] == [0]
+
+
+def test_merge_upsert_clears_emptied_nested_partition(spark):
+    """Multi-column partitioning: the emptied-partition cleanup must build
+    the nested job_id=/day= directory path correctly."""
+    rows = [(j, d, i, f"v1-{j}-{d}-{i}") for j in (0, 1) for d in (10, 20)
+            for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "job_id int, day int, rec_id int, payload string"
+    )
+    path = tempfile.mkdtemp(prefix="hns_merge_nested_")
+    SK.write_partitioned(df, path, ["job_id", "day"])
+
+    updates = spark.createDataFrame(
+        [], "job_id int, day int, rec_id int, payload string"
+    )
+    deletes = spark.createDataFrame(
+        [(1, 20, i) for i in range(3)], "job_id int, day int, rec_id int"
+    )
+    SK.merge_upsert_partitioned(
+        spark, path, updates, ["job_id", "day", "rec_id"], ["job_id", "day"],
+        deletes=deletes,
+    )
+    assert not os.path.exists(os.path.join(path, "job_id=1", "day=20"))
+    assert os.path.exists(os.path.join(path, "job_id=1", "day=10"))
+    got = spark.read.parquet(path)
+    assert got.count() == 9
+    assert got.filter("job_id = 1 and day = 20").count() == 0
