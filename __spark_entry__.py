@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "street_merge_stats": P.street_merge_stats,
         "title_case_streets": P.title_case_streets,
         "spatial_window_read": P.spatial_window_read,
+        "stream_image_gate": P.stream_image_gate,
         "image_resize_stats": P.image_resize_stats,
         "video_frame_sample": P.video_frame_sample,
         "audio_feature_stats": P.audio_feature_stats,
@@ -244,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         audio_feature_stats_sql,
         image_resize_stats_sql,
         spatial_window_read_sql,
+        stream_image_gate_sql,
         lu_commune_lookup_sql,
         street_merge_stats_sql,
         street_merged_wkt_sql,
@@ -312,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
             f"COUNT(*) AS n_points FROM {pts} p GROUP BY 1"
         ),
         "spatial_window_read": spatial_window_read_sql(),
+        "stream_image_gate": stream_image_gate_sql(),
         "image_resize_stats": image_resize_stats_sql(),
         "audio_feature_stats": audio_feature_stats_sql(),
         "checkpoint_image_lineage": (

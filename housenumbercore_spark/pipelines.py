@@ -598,6 +598,55 @@ SELECT CAST(area_id AS BIGINT) AS area_id, name,
 FROM asg GROUP BY area_id, name"""
 
 
+N_GATE_IMAGES = 200
+GATE_CORRUPT_EVERY = 10
+
+
+def stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 on the image axis: streaming ingest of image files through the
+    decode/phash invariant gate (exactly-once file processing), reporting
+    per-format accept/reject counts. The corruption pattern (every 10th id,
+    and ids alternate png/jpgq) makes the counts SQL-derivable while the
+    engine genuinely decodes every payload in a streaming microbatch."""
+    import tempfile
+
+    from .streaming import images as SI
+
+    base = tempfile.mkdtemp(prefix="hns_sgate_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    SI.make_gate_source(
+        spark, src, 0, N_GATE_IMAGES, corrupt_every=GATE_CORRUPT_EVERY
+    )
+    SI.run_image_gate(spark, src, out, ckpt)
+    acc = (
+        spark.read.parquet(f"{out}/accepted")
+        .groupBy("fmt")
+        .agg(F.count(F.lit(1)).alias("n_accepted"))
+    )
+    rej = (
+        spark.read.parquet(f"{out}/rejected")
+        .groupBy("fmt")
+        .agg(F.count(F.lit(1)).alias("n_rejected"))
+    )
+    return (
+        acc.join(rej, "fmt", "full_outer")
+        .select(
+            "fmt",
+            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
+            F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
+        )
+    )
+
+
+def stream_image_gate_sql() -> str:
+    n, ce = N_GATE_IMAGES, GATE_CORRUPT_EVERY
+    return f"""
+SELECT CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpgq' END AS fmt,
+       CAST(SUM(CASE WHEN i % {ce} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       CAST(SUM(CASE WHEN i % {ce} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+FROM range({n}) t(i) GROUP BY 1"""
+
+
 WINDOW_BOX = (6.3, 50.2, 6.9, 50.7)  # lon_min, lat_min, lon_max, lat_max
 
 

@@ -1,0 +1,131 @@
+"""Streaming image ingestion with the north-rule invariant gate.
+
+Continuous version of the batch image pipeline: new parquet files of
+image+caption rows land in a directory; a file-source stream picks each
+file up EXACTLY ONCE (Structured Streaming's file-source log via the
+checkpoint location), runs the per-row invariant gate (recomputed phash
+must match the stored phash — a real decode through images/codec, Arrow-
+batched) and appends accepted rows to the gated table while quarantining
+violations. Restart-safe: re-running after a crash or with new input files
+processes only the unseen files (tested), which is the streaming
+counterpart of checkpoint.py's per-partition batch resume.
+
+Scale shape: the gate is a map-only transform on the stream (no state, no
+shuffle); throughput scales with input-file parallelism exactly like the
+batch decode path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..images import codec
+from ..sources.images import SCHEMA as IMAGE_SCHEMA
+
+
+def _gated_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    ok = np.zeros(len(pdf), dtype=bool)
+    for i in range(len(pdf)):
+        try:
+            px = codec.decode_image(bytes(pdf["bytes"].iat[i]))
+            ok[i] = (
+                codec.phash64(px) == int(pdf["phash"].iat[i])
+                and px.shape[1] == int(pdf["w"].iat[i])
+                and px.shape[0] == int(pdf["h"].iat[i])
+            )
+        except Exception:
+            ok[i] = False
+    out = pdf.copy()
+    out["gate_ok"] = ok
+    return out
+
+
+_GATED_SCHEMA = T.StructType(
+    IMAGE_SCHEMA.fields + [T.StructField("gate_ok", T.BooleanType(), False)]
+)
+
+
+def make_gate_source(
+    spark: SparkSession,
+    src_dir: str,
+    start: int,
+    n: int,
+    corrupt_every: int | None = None,
+) -> None:
+    """Append one parquet file of deterministic images to ``src_dir``;
+    every ``corrupt_every``-th id gets a flipped stored phash (an ingest
+    corruption the gate must quarantine). Driver-side build of a small
+    demo batch — production sources are whatever lands the files."""
+    from ..sources.images import SCHEMA, _row_for
+
+    rows = []
+    for i in range(start, start + n):
+        iid, buf, w, h, fmt, cap, ph, lon, lat = _row_for(i)
+        if corrupt_every and i % corrupt_every == 0:
+            ph = ph ^ 0xFF0
+        rows.append((iid, buf, w, h, fmt, cap, ph, lon, lat))
+    pdf = pd.DataFrame(rows, columns=[f.name for f in SCHEMA.fields])
+    spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode("append").parquet(
+        src_dir
+    )
+
+
+def image_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Unstarted streaming plan: file-source stream over ``src_dir`` with
+    the decode/phash/dims gate column attached."""
+    stream = spark.readStream.schema(IMAGE_SCHEMA).parquet(src_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            yield _gated_batch(pdf)
+
+    return stream.mapInPandas(gen, _GATED_SCHEMA)
+
+
+def run_image_gate(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> dict:
+    """Drain everything currently in ``src_dir`` (availableNow trigger),
+    appending gated rows to ``out_dir/accepted`` and violations to
+    ``out_dir/rejected``. Idempotent across restarts: the checkpoint's
+    file log skips already-processed input files. Returns counts."""
+    gated = image_stream(spark, src_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.filter(F.col("gate_ok")).drop("gate_ok")
+                .write.mode("append").parquet(f"{out_dir}/accepted")
+            )
+            rej = batch_df.filter(~F.col("gate_ok")).drop("gate_ok")
+            if rej.limit(1).count():
+                rej.write.mode("append").parquet(f"{out_dir}/rejected")
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        gated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    n_acc = (
+        spark.read.parquet(f"{out_dir}/accepted").count()
+        if os.path.exists(f"{out_dir}/accepted") else 0
+    )
+    n_rej = (
+        spark.read.parquet(f"{out_dir}/rejected").count()
+        if os.path.exists(f"{out_dir}/rejected") else 0
+    )
+    return {"accepted_total": n_acc, "rejected_total": n_rej}

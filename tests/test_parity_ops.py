@@ -37,6 +37,7 @@ QUERIES = [
     "image_resize_stats",
     "checkpoint_image_lineage",
     "spatial_window_read",
+    "stream_image_gate",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Streaming image-ingest gate: invariant filtering + exactly-once files."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from housenumbercore_spark.images import codec
+from housenumbercore_spark.sources import images as IMG
+from housenumbercore_spark.streaming import images as SI
+
+
+def _write_batch(spark, src_dir, start, n, corrupt_every=None):
+    import pandas as pd
+
+    rows = []
+    for i in range(start, start + n):
+        iid, buf, w, h, fmt, cap, ph, lon, lat = IMG._row_for(i)
+        if corrupt_every and i % corrupt_every == 0:
+            ph = ph ^ 0xFF0  # stored phash no longer matches the pixels
+        rows.append((iid, buf, w, h, fmt, cap, ph, lon, lat))
+    pdf = pd.DataFrame(rows, columns=[f.name for f in IMG.SCHEMA.fields])
+    spark.createDataFrame(pdf, IMG.SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+
+def test_gate_accepts_valid_and_quarantines_corrupt(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, 0, 40, corrupt_every=10)  # ids 0,10,20,30 bad
+
+    res = SI.run_image_gate(spark, src, out, ckpt)
+    assert res == {"accepted_total": 36, "rejected_total": 4}
+    acc = spark.read.parquet(f"{out}/accepted")
+    # accepted rows still satisfy the invariant end to end
+    one = acc.orderBy("image_id").limit(1).collect()[0]
+    px = codec.decode_image(bytes(one.bytes))
+    assert codec.phash64(px) == one.phash
+    rej_ids = {
+        r.image_id
+        for r in spark.read.parquet(f"{out}/rejected").collect()
+    }
+    assert rej_ids == {f"img{i:010d}" for i in (0, 10, 20, 30)}
+
+
+def test_restart_processes_only_new_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, 0, 20)
+    r1 = SI.run_image_gate(spark, src, out, ckpt)
+    assert r1["accepted_total"] == 20
+
+    # second run with NO new input: nothing reprocessed (no duplicates)
+    r2 = SI.run_image_gate(spark, src, out, ckpt)
+    assert r2["accepted_total"] == 20
+
+    # new file arrives → only its rows are appended
+    _write_batch(spark, src, 100, 15)
+    r3 = SI.run_image_gate(spark, src, out, ckpt)
+    assert r3["accepted_total"] == 35
+    acc = spark.read.parquet(f"{out}/accepted")
+    assert acc.select("image_id").distinct().count() == 35
+    assert acc.count() == 35  # exactly-once: no file replayed
