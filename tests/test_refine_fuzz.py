@@ -15,6 +15,14 @@ from housenumbercore_spark.geo import geometry as G
 from housenumbercore_spark.operators import pip_join as PJ
 from housenumbercore_spark.operators import street_catalog as SC
 
+def _multi_wkb():
+    return G.multipolygon_wkb([
+        [np.array([[0.0, 0.0], [1.5, 0.0], [1.5, 1.5], [0.0, 1.5], [0.0, 0.0]])],
+        [np.array([[2.5, 2.5], [4.0, 2.5], [4.0, 4.0], [2.5, 4.0], [2.5, 2.5]]),
+         np.array([[3.0, 3.0], [3.5, 3.0], [3.5, 3.5], [3.0, 3.5], [3.0, 3.0]])],
+    ])
+
+
 POLYGONS = {
     "diamond": [np.array(
         [[2.0, 0.0], [4.0, 2.0], [2.0, 4.0], [0.0, 2.0], [2.0, 0.0]]
@@ -29,6 +37,15 @@ POLYGONS = {
 }
 
 
+def _wkb_for(shape):
+    if shape == "multi":
+        return _multi_wkb()
+    return G.polygon_wkb(POLYGONS[shape])
+
+
+SHAPES = sorted(POLYGONS) + ["multi"]
+
+
 def _coords(rng, n):
     """Half continuous, half snapped to the 0.5 grid (degeneracy bait)."""
     c = rng.uniform(-1.0, 5.0, n)
@@ -37,12 +54,12 @@ def _coords(rng, n):
     return c
 
 
-@pytest.mark.parametrize("shape", sorted(POLYGONS))
+@pytest.mark.parametrize("shape", SHAPES)
 def test_point_refine_matches_python_kernel(spark, shape):
     rng = np.random.default_rng(__import__("zlib").crc32(shape.encode()))
     n = 400
     px, py = _coords(rng, n), _coords(rng, n)
-    wkb = G.polygon_wkb(POLYGONS[shape])
+    wkb = _wkb_for(shape)
     poly = G.parse_wkb(wkb)
     bx = poly.bbox()
     areas = spark.createDataFrame(
@@ -64,7 +81,7 @@ def test_point_refine_matches_python_kernel(spark, shape):
     assert got == want, f"{shape}: jvm^python={sorted(got ^ want)[:10]}"
 
 
-@pytest.mark.parametrize("shape", sorted(POLYGONS))
+@pytest.mark.parametrize("shape", SHAPES)
 def test_segment_refine_matches_python_kernel(spark, shape):
     rng = np.random.default_rng(__import__("zlib").crc32(shape.encode()) + 7)
     n = 200
@@ -74,7 +91,7 @@ def test_segment_refine_matches_python_kernel(spark, shape):
     axis = rng.random(n) < 0.3
     dy[axis] = 0.0
     x1, y1 = x0 + dx, y0 + dy
-    wkb = G.polygon_wkb(POLYGONS[shape])
+    wkb = _wkb_for(shape)
     poly = G.parse_wkb(wkb)
     bx = poly.bbox()
     areas = spark.createDataFrame(
