@@ -101,16 +101,35 @@ def parse_gml_bytes(buf: bytes, feature_localname: str) -> list[tuple]:
 
 
 def read_gml(
-    spark: SparkSession, path_glob: str, feature_localname: str
+    spark: SparkSession,
+    path_glob: str,
+    feature_localname: str,
+    on_error: str = "fail",
 ) -> DataFrame:
-    """All GML files under ``path_glob`` → one row per feature element."""
+    """All GML files under ``path_glob`` → one row per feature element.
+
+    ``on_error='quarantine'`` emits one ``feature='__error__'`` marker row
+    per malformed file (message in attrs) instead of failing the job."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error}")
     files = spark.read.format("binaryFile").load(path_glob).select("content")
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                rows.extend(parse_gml_bytes(bytes(content), feature_localname))
+                try:
+                    rows.extend(
+                        parse_gml_bytes(bytes(content), feature_localname)
+                    )
+                except Exception as exc:
+                    if on_error == "fail":
+                        raise
+                    rows.append(
+                        (None, "__error__",
+                         {"error": f"{type(exc).__name__}: {exc}"},
+                         None, None, None)
+                    )
             if rows:
                 yield pd.DataFrame(rows, columns=[f.name for f in SCHEMA.fields])
 

@@ -81,15 +81,30 @@ def parse_osm_bytes(buf: bytes) -> list[tuple]:
     return rows
 
 
-def read_osm_xml(spark: SparkSession, path_glob: str) -> DataFrame:
-    """All ``.osm`` files under ``path_glob`` → the unified element table."""
+def read_osm_xml(
+    spark: SparkSession, path_glob: str, on_error: str = "fail"
+) -> DataFrame:
+    """All ``.osm`` files under ``path_glob`` → the unified element table.
+
+    ``on_error='quarantine'`` emits one ``kind='__error__'`` marker row per
+    malformed file (message in tags) instead of failing the ingest job."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error}")
     files = spark.read.format("binaryFile").load(path_glob).select("content")
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                rows.extend(parse_osm_bytes(bytes(content)))
+                try:
+                    rows.extend(parse_osm_bytes(bytes(content)))
+                except Exception as exc:
+                    if on_error == "fail":
+                        raise
+                    rows.append(
+                        ("__error__", -1, None, None, None, None,
+                         {"error": f"{type(exc).__name__}: {exc}"})
+                    )
             if rows:
                 yield pd.DataFrame(
                     rows, columns=[f.name for f in SCHEMA.fields]

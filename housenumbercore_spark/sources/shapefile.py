@@ -146,7 +146,9 @@ _SCHEMA = T.StructType(
 )
 
 
-def read_shapefiles(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_shapefiles(
+    spark: SparkSession, path_glob: str, on_error: str = "fail"
+) -> DataFrame:
     """All ``.shp`` (+ sibling ``.dbf``) under ``path_glob`` → one row per
     record: (source_file, rec_no, shape_type, x, y, wkb, attrs).
 
@@ -154,7 +156,15 @@ def read_shapefiles(spark: SparkSession, path_glob: str) -> DataFrame:
     executor-side. The sibling ``.dbf`` is read from the shared filesystem
     next to its ``.shp`` — on a cluster that is the same distributed store
     the binaryFile scan itself uses.
+
+    ``on_error='quarantine'``: a malformed file yields ONE marker row
+    (shape_type ``__error__``, the message in attrs) instead of failing the
+    whole job — at fleet scale one corrupt file must not kill a 10⁴-file
+    ingest; filter/route the markers downstream. Default ``'fail'`` keeps
+    strict semantics.
     """
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error}")
     files = spark.read.format("binaryFile").load(path_glob).select(
         "path", "content"
     )
@@ -165,12 +175,21 @@ def read_shapefiles(spark: SparkSession, path_glob: str) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 local = path[len("file:"):] if path.startswith("file:") else path
                 stem = os.path.splitext(os.path.basename(local))[0]
-                shapes = parse_shp(bytes(content))
-                dbf_path = os.path.splitext(local)[0] + ".dbf"
-                attrs: dict[int, dict[str, str]] = {}
-                if os.path.exists(dbf_path):
-                    with open(dbf_path, "rb") as f:
-                        attrs = dict(parse_dbf(f.read()))
+                try:
+                    shapes = parse_shp(bytes(content))
+                    dbf_path = os.path.splitext(local)[0] + ".dbf"
+                    attrs: dict[int, dict[str, str]] = {}
+                    if os.path.exists(dbf_path):
+                        with open(dbf_path, "rb") as f:
+                            attrs = dict(parse_dbf(f.read()))
+                except Exception as exc:
+                    if on_error == "fail":
+                        raise
+                    rows.append(
+                        (stem, 0, "__error__", None, None, None,
+                         {"error": f"{type(exc).__name__}: {exc}"})
+                    )
+                    continue
                 for rec_no, stype, x, y, wkb in shapes:
                     rows.append(
                         (stem, rec_no, stype, x, y, wkb, attrs.get(rec_no))

@@ -158,3 +158,33 @@ def test_osm_xml_feeds_associated_street_operator(spark, tmp_path):
            R.resolve_associated_street(objs, rels).collect()}
     assert out[1].effective_street == "Pontstraße"
     assert out[1].rel_id == 100
+
+
+def test_quarantine_mode_isolates_corrupt_files(spark, tmp_path):
+    """A malformed file among good ones must not fail the job in
+    quarantine mode; strict mode still raises."""
+    import pytest
+
+    good = tmp_path / "good.osm"
+    good.write_text(OSM_FIXTURE, encoding="utf-8")
+    bad = tmp_path / "bad.osm"
+    bad.write_text("<osm><node id='1' lat='x", encoding="utf-8")
+
+    out = OX.read_osm_xml(spark, str(tmp_path / "*.osm"), on_error="quarantine")
+    kinds = {r.kind: r["count"] for r in out.groupBy("kind").count().collect()}
+    assert kinds["__error__"] == 1 and kinds["node"] == 4
+
+    with pytest.raises(Exception):
+        OX.read_osm_xml(spark, str(tmp_path / "*.osm")).count()
+
+    # shapefile: truncated magic
+    (tmp_path / "bad.shp").write_bytes(b"\x00\x01\x02")
+    pts = [(6.0, 50.0)]
+    SH.write_shapefile_pair(str(tmp_path / "ok"), pts, [{"STREET": "A"}])
+    sh = SH.read_shapefiles(
+        spark, str(tmp_path / "*.shp"), on_error="quarantine"
+    ).collect()
+    types = sorted(r.shape_type for r in sh)
+    assert types == ["__error__", "point"]
+    err = [r for r in sh if r.shape_type == "__error__"][0]
+    assert "error" in err.attrs and err.source_file == "bad"
