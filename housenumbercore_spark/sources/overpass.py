@@ -89,8 +89,13 @@ def parse_overpass_json(buf: bytes) -> list[tuple]:
         kind = el["type"]
         tags = el.get("tags") or None
         if kind == "node":
-            rows.append(("node", int(el["id"]), float(el["lon"]),
-                         float(el["lat"]), None, None, tags))
+            lon, lat = el.get("lon"), el.get("lat")  # absent under out-skel
+            rows.append(
+                ("node", int(el["id"]),
+                 float(lon) if lon is not None else None,
+                 float(lat) if lat is not None else None,
+                 None, None, tags)
+            )
         elif kind == "way":
             rows.append(("way", int(el["id"]), None, None,
                          [int(r) for r in el.get("nodes", [])], None, tags))
