@@ -29,6 +29,11 @@ IMG_H = 16
 
 _IMAGES_TABLE_LOCK = threading.Lock()
 
+# BUMP whenever make_pixels/make_caption/_row_for or the codecs change:
+# the /tmp table cache is keyed on this, and serving a stale generation
+# would silently poison every image correctness check.
+IMAGES_TABLE_VERSION = 2
+
 SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
@@ -127,7 +132,10 @@ def images_table(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
     import tempfile
     import uuid
 
-    d = os.path.join(tempfile.gettempdir(), f"hns_images_{n}_{partitions}")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"hns_images_{n}_{partitions}_v{IMAGES_TABLE_VERSION}",
+    )
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
         with _IMAGES_TABLE_LOCK:  # concurrent threads (checkpoint runner)
