@@ -112,3 +112,20 @@ def test_overpass_json_parses_into_element_table(spark):
     assert cent.osm_id == 11 and abs(cent.lon - 6.11) < 1e-9
     way = OX.osm_ways(osm).collect()[0]
     assert way.tags["name"] == "Pontstraße"
+
+
+def test_overpass_xml_format_bridges_to_element_table(spark):
+    """fmt='xml' routes a raw OSM XML Overpass response through the same
+    element bridge as JSON."""
+    xml = (
+        '<?xml version="1.0"?><osm version="0.6">'
+        '<node id="2" lat="50.78" lon="6.10"/>'
+        '<node id="3" lat="50.80" lon="6.12"/>'
+        '<way id="11"><nd ref="2"/><nd ref="3"/>'
+        '<tag k="highway" v="residential"/><tag k="name" v="A"/></way></osm>'
+    )
+    osm = OP.elements_df(spark, xml.encode(), fmt="xml")
+    from housenumbercore_spark.sources import osm_xml as OX
+
+    cent = OX.way_centroids(osm).collect()[0]
+    assert cent.osm_id == 11 and abs(cent.lon - 6.11) < 1e-9
