@@ -107,3 +107,39 @@ def test_lsh_salted_pairs_match_plain(spark):
     a = plain.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     b = salted.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
+
+
+def test_ngram_df_cap_drops_hot_shingles_but_keeps_exact_jaccard(spark):
+    """A boilerplate shingle shared by every doc must not generate pairs
+    when its DF exceeds the cap; pairs found via rare shingles keep EXACT
+    Jaccard computed over the full (uncapped) shingle sets."""
+    from housenumbercore_spark.text import dedup as TD
+
+    boiler = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler}", "en"),
+            (2, f"alpha beta gamma epsilon {boiler}", "en"),
+            (3, f"one two three four {boiler}", "en"),
+            (4, f"five six seven eight {boiler}", "en"),
+            (5, f"nine ten eleven twelve {boiler}", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # cap below the boilerplate's DF (5): only the rare-shingle pair stays
+    capped = TD.ngram_jaccard_pairs(docs, k=3, threshold=0.1, max_df=4)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    assert set(got) == {(1, 2)}
+    # jaccard over FULL shingle sets: docs 1/2 have 7 distinct 3-gram
+    # shingles each, sharing 2 ("alpha beta gamma") + 3 boilerplate-spanning
+    # ... recompute exactly instead of hand-counting:
+    from housenumbercore_spark.text.dedup import with_shingle_hashes
+
+    sh = {r.doc_id: set(r.shingles)
+          for r in with_shingle_hashes(docs, 3).collect()}
+    inter = len(sh[1] & sh[2])
+    want = round(inter / len(sh[1] | sh[2]), 6)
+    assert got[(1, 2)] == want
+    # without the cap the boilerplate connects everything
+    uncapped = TD.ngram_jaccard_pairs(docs, k=3, threshold=0.1, max_df=100)
+    assert uncapped.count() > 1
