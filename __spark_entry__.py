@@ -81,8 +81,11 @@ N_IMAGES = 2000
 
 def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image+caption payload through the spatial join with the per-row
-    PSNR/caption invariant gate (north rule). Not SQL-expressible (binary
-    codecs) → rows-only driver check; exact gates live in tests/test_images.py.
+    PSNR/caption invariant gate (north rule). Every output column is
+    value-checked: the oracle predicts the join row count from the
+    deterministic generator arithmetic and asserts zero violations +
+    PSNR floor; Spark computes all four from REAL decoded pixels
+    (images/udfs.py). Raw min-PSNR diagnostics stay in tests/test_images.py.
     """
     from housenumbercore_spark.images import udfs as IU
     from housenumbercore_spark.operators import pip_join as PJ
@@ -92,14 +95,18 @@ def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = IMG.images_table(spark, N_IMAGES)
     areas = S.areas_df(spark, sf_dir)
     assigned = PJ.assign_points_to_areas(spark, imgs, areas)
-    return IU.invariant_summary(IU.check_invariants(assigned, imgs))
+    return IU.invariant_gate_summary(IU.check_invariants(assigned, imgs))
 
 
 def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row decode verification (decoded dims + recomputed-phash match):
+    SQL-predictable values, real decode on the Spark side. The non-SQL
+    per-channel statistics path (decode_stats) is value-gated in
+    tests/test_images.py."""
     from housenumbercore_spark.images import udfs as IU
     from housenumbercore_spark.sources import images as IMG
 
-    return IU.decode_stats(IMG.images_table(spark, N_IMAGES))
+    return IU.decode_check(IMG.images_table(spark, N_IMAGES))
 
 
 def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,6 +183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "street_merged_geometries": P.street_merged_geometries,
         "knn_nearest_street": lambda s, d: P.knn_nearest_street(s, d, k=1),
         "knn_nearest_street_k3": lambda s, d: P.knn_nearest_street(s, d, k=3),
+        # same result through the salted SHUFFLE candidate join (the path
+        # for target dims beyond broadcast size) — identical oracle
+        "knn_nearest_street_shuffle": lambda s, d: P.knn_nearest_street(
+            s, d, k=1, dim_strategy="shuffle"
+        ),
         # training-data pipeline ops over documents/embeddings
         "text_token_stats": P.text_token_stats,
         "text_quality": P.text_quality,
@@ -200,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "associated_street": P.associated_street,
         "merge_diff": P.merge_diff,
         "merge_action_counters": P.merge_action_counters,
+        "merge_upsert_snapshot": P.merge_upsert_snapshot,
         "boundary_select": P.boundary_select,
         "josm_export": P.josm_export_rows,
         "census_counters": P.census_counters,
@@ -252,7 +265,11 @@ def oracle_sql() -> dict[str, str]:
         title_case_streets_sql,
         video_frame_sample_sql,
     )
-    from housenumbercore_spark.sources.images import images_lonlat_sql
+    from housenumbercore_spark.sources.images import (
+        IMG_H,
+        IMG_W,
+        images_lonlat_sql,
+    )
 
     return {
         "csv_import_roundtrip": csv_import_roundtrip_sql(),
@@ -260,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "associated_street": O.associated_street_sql(),
         "merge_diff": O.merge_diff_sql(),
         "merge_action_counters": O.merge_counters_sql(),
+        "merge_upsert_snapshot": O.merge_upsert_snapshot_sql(),
         "boundary_select": O.boundary_select_sql(),
         "josm_export": O.josm_export_sql(),
         "census_counters": O.census_counters_sql(),
@@ -297,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "street_catalog": O.street_catalog_sql(),
         "knn_nearest_street": O.knn_nearest_street_sql(1),
         "knn_nearest_street_k3": O.knn_nearest_street_sql(3),
+        "knn_nearest_street_shuffle": O.knn_nearest_street_sql(1),
         "official_dedup": O.official_dedup_sql(),
         "best_osm_object": O.best_osm_sql(),
         "match_evaluation": O.matched_sql(),
@@ -317,6 +336,28 @@ def oracle_sql() -> dict[str, str]:
         "stream_image_gate": stream_image_gate_sql(),
         "image_resize_stats": image_resize_stats_sql(),
         "audio_feature_stats": audio_feature_stats_sql(),
+        # image invariant gate: row count from the deterministic generator's
+        # lon/lat arithmetic × rectangle areas; violations must be zero and
+        # min PSNR ≥ 40 dB — Spark computes these from real decoded pixels
+        "image_invariants": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(0 AS BIGINT) AS n_pixel_violations, "
+            "CAST(0 AS BIGINT) AS n_caption_violations, "
+            "TRUE AS psnr_gate_ok "
+            f"FROM {images_lonlat_sql(N_IMAGES)} img JOIN {areas} a "
+            "ON img.lon >= a.xmin AND img.lon <= a.xmax "
+            "AND img.lat >= a.ymin AND img.lat <= a.ymax"
+        ),
+        # decode verification: dims and recomputed-phash agreement are
+        # deterministic generator facts; Spark derives them by decoding
+        "image_decode_stats": (
+            "SELECT 'img' || lpad(CAST(i AS VARCHAR), 10, '0') AS image_id, "
+            f"CAST({IMG_W} AS BIGINT) AS w_decoded, "
+            f"CAST({IMG_H} AS BIGINT) AS h_decoded, "
+            "CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpgq' END AS fmt, "
+            "TRUE AS phash_match "
+            f"FROM range({N_IMAGES}) t(i)"
+        ),
         "checkpoint_image_lineage": (
             "SELECT CAST(i % 4 AS VARCHAR) AS partition, "
             "'imgsnap' AS input_fingerprint, COUNT(*) AS row_count, "

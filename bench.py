@@ -109,14 +109,18 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         )
         n_input_points = pts.count() * rep_n
         n_rows = flag.count()  # warm-up + output row count (~2 areas/point)
-        # median-of-3 (driver-condition reporting; best-of hid sandbox
-        # contention in round 1 and made the recorded numbers irreproducible)
+        # median-of-5 WITHIN the run, with the in-run min reported alongside
+        # (round-2 verdict: host noise spans 1.9–45.2 s on identical runs, so
+        # the headline must not rest on a single draw; the min shows the
+        # uncontended capability of the same plan)
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             flag.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        t_flag = sorted(samples)[len(samples) // 2]
+        samples.sort()
+        t_flag = samples[len(samples) // 2]
+        t_flag_min = samples[0]
         timings["flagship_replicated"] = round(t_flag, 3)
         m = re.search(r"sf([\d.]+)", sf_dir)
         return {
@@ -128,6 +132,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             # output rows/sec (one row per point × covering area — ~2 levels
             # overlap by design); input points/sec reported separately
             "throughput_rows_per_sec": round(n_rows / t_flag, 1) if t_flag else 0.0,
+            "flagship_min_sec": round(t_flag_min, 3),
+            "throughput_rows_per_sec_max": (
+                round(n_rows / t_flag_min, 1) if t_flag_min else 0.0
+            ),
             "n_rows": n_rows,
             "n_input_points": n_input_points,
             "input_points_per_sec": (

@@ -11,10 +11,11 @@ decoded-pixel PSNR ≥ 40 dB invariant):
 - ``jpgq`` — a *deterministic lossy stand-in for JPEG* (no DCT codec libs
   available): uniform quantization of RGB samples to steps of Q=4 with
   midpoint reconstruction, zlib-compressed. Max per-sample error Q/2 → PSNR
-  ≥ 20·log10(255/(Q/√12)) ≈ 46.8 dB ≥ 40 dB. CLEARLY A STAND-IN: swap
-  ``encode_jpgq/decode_jpgq`` for a real JPEG codec (e.g. PIL) in
+  ≥ 20·log10(255/(Q/√12)) ≈ 46.8 dB ≥ 40 dB. CLEARLY A STAND-IN: plug a
+  real JPEG codec (e.g. PIL) in with one :func:`register_codec` call in
   production; every call site goes through :func:`decode_image` /
-  :func:`encode_image` so the swap is one dispatch entry.
+  :func:`encode_image`, and the seam is proven with a mock PIL-like codec
+  by tests/test_images.py::test_real_jpeg_adapter_seam.
 
 phash is a from-scratch 64-bit DCT perceptual hash (32×32 grayscale →
 DCT-II → top-left 8×8 minus DC → median threshold), the standard published
@@ -142,20 +143,48 @@ def decode_jpgq(buf: bytes) -> np.ndarray:
 # dispatch
 # ---------------------------------------------------------------------------
 
+#: fmt name → encoder. 'jpeg' maps to the jpgq stand-in until a real codec
+#: is registered (see register_codec + tests/test_images.py seam test).
+_ENCODERS = {"png": encode_png, "jpgq": encode_jpgq, "jpeg": encode_jpgq}
+
+#: ordered (sniff-over-leading-bytes, decoder) pairs; first match wins.
+_DECODERS: list = [
+    (lambda b: b[:8] == PNG_SIG, decode_png),
+    (lambda b: b[:4] == JPGQ_MAGIC, decode_jpgq),
+]
+
+
+def register_codec(fmt, encoder, decoder, sniff) -> None:
+    """Plug a REAL codec into the dispatch — the single swap point for
+    production environments with PIL/libjpeg/opencv available::
+
+        register_codec("jpeg",
+                       lambda px: pil_encode_jpeg(px, quality=90),
+                       pil_decode,
+                       lambda b: b[:2] == b"\\xff\\xd8")
+
+    Every call site (invariant check, decode stats, streaming gate, resize)
+    routes through :func:`encode_image` / :func:`decode_image`, so one
+    registration switches the whole engine. The registered decoder is
+    sniffed FIRST, so it takes precedence over the built-ins. Proven by
+    tests/test_images.py::test_real_jpeg_adapter_seam with a mock PIL-like
+    codec."""
+    _ENCODERS[fmt] = encoder
+    _DECODERS.insert(0, (sniff, decoder))
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    if fmt == "png":
-        return encode_png(pixels)
-    if fmt in ("jpgq", "jpeg"):
-        return encode_jpgq(pixels)
-    raise ValueError(f"unsupported fmt {fmt}")
+    enc = _ENCODERS.get(fmt)
+    if enc is None:
+        raise ValueError(f"unsupported fmt {fmt}")
+    return enc(pixels)
 
 
 def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
     b = bytes(buf)
-    if b[:8] == PNG_SIG:
-        return decode_png(b)
-    if b[:4] == JPGQ_MAGIC:
-        return decode_jpgq(b)
+    for sniff, dec in _DECODERS:
+        if sniff(b):
+            return dec(b)
     raise ValueError(f"unrecognized image payload (fmt hint: {fmt})")
 
 

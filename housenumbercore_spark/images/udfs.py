@@ -60,13 +60,22 @@ def check_invariants(
     # decode — at the 10¹²-row shape the pass-through verification path is
     # pure whole-stage codegen.
     cap_ok_col = F.col("__oc").eqNullSafe(F.col("__sc"))
-    same = joined.filter(F.col("__ob") == F.col("__sb")).select(
+    # NULL-safe split: byte_equal is TRUE only for non-null identical
+    # payloads; every other row — including NULL payloads, where plain `==`
+    # is NULL and would drop the row from BOTH branches — falls through to
+    # the decode path and surfaces as pixels_ok=False there.
+    byte_equal = (
+        F.col("__ob").isNotNull()
+        & F.col("__sb").isNotNull()
+        & (F.col("__ob") == F.col("__sb"))
+    )
+    same = joined.filter(byte_equal).select(
         "image_id",
         F.lit(999.0).alias("psnr_db"),
         F.lit(True).alias("pixels_ok"),
         cap_ok_col.alias("caption_ok"),
     )
-    diff = joined.filter(~(F.col("__ob") == F.col("__sb")))
+    diff = joined.filter(~F.coalesce(byte_equal, F.lit(False)))
 
     def gen(batches):
         for pdf in batches:
@@ -107,6 +116,66 @@ def invariant_summary(check_df: DataFrame) -> DataFrame:
         ),
         F.min("psnr_db").alias("min_psnr_db"),
     )
+
+
+def invariant_gate_summary(check_df: DataFrame) -> DataFrame:
+    """Driver-checkable aggregate gate: (n_rows, n_pixel_violations,
+    n_caption_violations, psnr_gate_ok).
+
+    Unlike :func:`invariant_summary` (which reports the raw ``min_psnr_db``
+    for diagnostics), every output column here has a SQL-derivable expected
+    value: row counts follow from the deterministic generator + spatial
+    join, violations must be zero, and the PSNR floor collapses to a
+    boolean (≥ :data:`PSNR_MIN_DB`). The engine still computes all of them
+    from real decoded pixels — the oracle predicts, Spark verifies."""
+    return check_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixel_violations"),
+        F.sum(F.when(~F.col("caption_ok"), 1).otherwise(0)).alias(
+            "n_caption_violations"
+        ),
+        (F.min("psnr_db") >= F.lit(PSNR_MIN_DB)).alias("psnr_gate_ok"),
+    )
+
+
+def decode_check(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Per-row decode verification with SQL-predictable outputs:
+    (image_id, w_decoded, h_decoded, fmt, phash_match).
+
+    ``w_decoded``/``h_decoded`` come from the decoded pixel array's shape
+    and ``phash_match`` recomputes the 64-bit DCT hash from those pixels and
+    compares it to the stored column — a full decode + hash round-trip per
+    row, Arrow-batched. A corrupted payload yields (-1, -1, false)."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("w_decoded", T.LongType(), False),
+            T.StructField("h_decoded", T.LongType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("phash_match", T.BooleanType(), False),
+        ]
+    )
+    src = df.select(
+        "image_id", F.col(bytes_col).alias("__b"), "fmt", "phash"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt, ph in zip(
+                pdf["image_id"], pdf["__b"], pdf["fmt"], pdf["phash"]
+            ):
+                try:
+                    px = codec.decode_image(bytes(buf))
+                    rows.append(
+                        (iid, px.shape[1], px.shape[0], fmt,
+                         codec.phash64(px) == int(ph))
+                    )
+                except Exception:
+                    rows.append((iid, -1, -1, fmt, False))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return src.mapInPandas(gen, schema)
 
 
 def decode_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:

@@ -30,6 +30,24 @@ from ..geo import cells as C
 from ..geo.distance import EARTH_RADIUS_M, distance_m_col
 
 
+def _has_unorderable_col(schema) -> bool:
+    """True if any column type cannot participate in struct ordering
+    (MapType anywhere in the type tree) — such schemas must take the
+    window rank path in :func:`knn_nearest`."""
+    from pyspark.sql import types as T
+
+    def bad(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return bad(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(bad(f.dataType) for f in dt.fields)
+        return False
+
+    return any(bad(f.dataType) for f in schema.fields)
+
+
 def _ring_offsets_df(spark, k: int):
     offs = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
     return spark.createDataFrame(offs, "dx long, dy long")
@@ -67,6 +85,26 @@ def expand_targets_to_ring(
     return out
 
 
+#: plan-statistics size (bytes) above which the 'auto' strategy stops
+#: broadcasting the ring-expanded target dim. Matches Spark's default
+#: autoBroadcastJoinThreshold order of magnitude with ring-expansion
+#: headroom: the dim is (2k+1)² × |targets| rows.
+AUTO_BROADCAST_BYTES = 64 << 20
+
+
+def _dim_strategy_auto(dim: DataFrame) -> str:
+    """'broadcast' when Catalyst's size estimate for the expanded dim is
+    known and small, else 'shuffle'. Unknown statistics (non-file sources)
+    surface as huge sizeInBytes and correctly pick the safe shuffle path."""
+    try:
+        size = int(
+            dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return "shuffle"
+    return "broadcast" if 0 < size <= AUTO_BROADCAST_BYTES else "shuffle"
+
+
 def knn_nearest(
     points: DataFrame,
     targets: DataFrame,
@@ -79,22 +117,45 @@ def knn_nearest(
     lat: str = "lat",
     tlon: str = "slon",
     tlat: str = "slat",
+    dim_strategy: str = "broadcast",
+    n_salt: int = 8,
 ) -> DataFrame:
     """→ points columns + (target_id, target payload, dist_m, knn_rank).
 
     Points with no target in their k-ring are absent from the output
     (caller may re-run them at a coarser ``res`` and union —
     :func:`knn_nearest_multires` automates exactly that).
+
+    ``dim_strategy`` picks the candidate-join physical shape:
+
+    - ``'broadcast'`` (default): ring-expanded targets broadcast to every
+      executor — right whenever (2k+1)²×|targets| fits in memory.
+    - ``'shuffle'``: salted shuffle hash join on the cell key — the path
+      for national-scale target sets (reference imports Italy's 13.9 M
+      addresses, ShapeReader.java:189-201) where the expanded dim exceeds
+      any broadcast threshold. Salting spreads hot urban cells over
+      ``n_salt`` reducers; AQE skew-join handles the residue.
+    - ``'auto'``: choose by Catalyst's size estimate of the expanded dim
+      (unknown stats → shuffle, the safe direction at scale).
     """
     dim = expand_targets_to_ring(targets, res, k_ring, lon=tlon, lat=tlat)
     pts = points.withColumn("__cell", C.cell_col(lon, lat, res))
-    cand = pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"]).drop(
-        "cell", "__cell"
-    )
+    if dim_strategy == "auto":
+        dim_strategy = _dim_strategy_auto(dim)
+    if dim_strategy == "broadcast":
+        cand = pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"]).drop(
+            "cell", "__cell"
+        )
+    elif dim_strategy == "shuffle":
+        from .pip_join import salted_cell_join
+
+        cand = salted_cell_join(pts, dim, n_salt=n_salt).drop("__cell")
+    else:
+        raise ValueError(f"unknown dim_strategy {dim_strategy!r}")
     cand = cand.withColumn(
         "dist_m", distance_m_col(F.col(lon), F.col(lat), F.col(tlon), F.col(tlat))
     )
-    if n_neighbors == 1:
+    if n_neighbors == 1 and not _has_unorderable_col(cand.schema):
         # argmin as a hash aggregate: min(struct(dist, id, payload...)) is
         # map-side combinable, so the per-point candidate fan-in (ring ×
         # target density) collapses BEFORE the shuffle — |points| narrow
@@ -113,6 +174,10 @@ def knn_nearest(
             *[F.col(f"__best.{c}").alias(c) for c in others],
             F.lit(1).alias("knn_rank"),
         )
+    # k > 1, or a target payload column with an unorderable type (e.g. a
+    # MapType tag column): rank through a window, which only ORDERS BY
+    # (dist_m, target_id) and therefore accepts any payload type that the
+    # argmin struct aggregate would reject with an AnalysisException.
     w = W.partitionBy(point_id).orderBy(F.col("dist_m").asc(), F.col(target_id).asc())
     out = cand.withColumn("knn_rank", F.row_number().over(w)).filter(
         F.col("knn_rank") <= n_neighbors
@@ -163,6 +228,8 @@ def knn_nearest_multires(
     lat: str = "lat",
     tlon: str = "slon",
     tlat: str = "slat",
+    dim_strategy: str = "broadcast",
+    n_salt: int = 8,
 ) -> DataFrame:
     """EXACT kNN with bounded candidate counts: run the ring join at the
     finest resolution first and accept every point whose n-th nearest
@@ -193,6 +260,7 @@ def knn_nearest_multires(
             remaining, targets, res, k_ring, n_neighbors,
             point_id=point_id, target_id=target_id,
             lon=lon, lat=lat, tlon=tlon, tlat=tlat,
+            dim_strategy=dim_strategy, n_salt=n_salt,
         )
         if not last:
             g = ring_guarantee_m(res, k_ring, lon, lat)

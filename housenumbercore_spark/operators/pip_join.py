@@ -325,9 +325,8 @@ def seg_cover_cells_cols(
     out: str = "cell",
 ) -> DataFrame:
     """Explode each segment row to the grid cells covering its bbox —
-    pure column arithmetic + two sequence-explodes, zero Python (the codegen
-    replacement for the pandas line_cover_cells). Superset cover: the exact
-    refine downstream discards false candidates."""
+    pure column arithmetic + two sequence-explodes, zero Python. Superset
+    cover: the exact refine downstream discards false candidates."""
     n = 1 << res
 
     def idx(v: F.Column, off: float, span: float) -> F.Column:

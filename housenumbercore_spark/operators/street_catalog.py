@@ -30,36 +30,6 @@ from ..sources.streets import HIGHWAY_WHITELIST
 from .pip_join import cover_cells, pick_join_res
 
 
-def line_cover_cells(
-    lines: DataFrame, res: int, id_col: str = "osm_id",
-    x0: str = "x0", y0: str = "y0", x1: str = "x1", y1: str = "y1",
-) -> DataFrame:
-    """(osm_id, cell) bbox-cover of each segment — superset, exact refine
-    later. Pure column arithmetic would need a fixed cell count per row;
-    segments are dimension-scale here, so a pandas generator is fine."""
-    schema = T.StructType(
-        [
-            T.StructField("cell", T.LongType(), False),
-            T.StructField(id_col, lines.schema[id_col].dataType, False),
-        ]
-    )
-    sel = lines.select(id_col, x0, y0, x1, y1)
-
-    def gen(batches):
-        for pdf in batches:
-            ids, cs = [], []
-            for oid, a, b, c, d in pdf.itertuples(index=False):
-                cover = C.cover_bbox(min(a, c), min(b, d), max(a, c), max(b, d), res)
-                cs.append(cover)
-                ids.append(np.full(len(cover), oid))
-            if ids:
-                yield pd.DataFrame(
-                    {"cell": np.concatenate(cs), id_col: np.concatenate(ids)}
-                )
-
-    return sel.mapInPandas(gen, schema)
-
-
 def streets_in_areas(
     spark: SparkSession,
     streets: DataFrame,

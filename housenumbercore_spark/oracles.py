@@ -204,6 +204,17 @@ def merge_counters_sql() -> str:
     )
 
 
+def merge_upsert_snapshot_sql() -> str:
+    """Expected on-disk table after the partitioned upsert sink commits the
+    diff: every update/insert row, plus base rows neither updated
+    (source_id % 13 = 0 set is absent from updates) nor deleted (% 26)."""
+    return _merge_ctes() + """
+SELECT source_id, street, housenumber FROM updates
+UNION ALL
+SELECT source_id, street, housenumber FROM base
+WHERE source_id % 13 = 0 AND source_id % 26 <> 0"""
+
+
 def boundary_select_sql() -> str:
     ags_raw = (
         "CAST(n_nationkey % 16 AS VARCHAR) || ' ' || "

@@ -267,6 +267,31 @@ def merge_action_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.merge_counters(merge_diff(spark, sf_dir))
 
 
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/M3 through the partitioned upsert SINK, end to end: write the base
+    table, commit the Workcache diff (updates + deletes, single-write
+    partition swap — sources/sinks.py), read the table back. Verifies the
+    on-disk merge result itself, not just the diff DataFrame: updated keys
+    replaced, inserts present, deleted keys (source_id % 26 == 0) gone,
+    untouched rows intact. Reference: Workcache.java:243-424 write-back."""
+    import tempfile
+
+    from .sources import sinks as SK
+
+    base, updates = _merge_inputs(spark, sf_dir)
+    part = (F.col("source_id") % 8).cast("int").alias("part")
+    path = tempfile.mkdtemp(prefix="hns_upsert_")
+    SK.write_partitioned(base.select("*", part), path, ["part"], dynamic=False)
+    # keys absent from updates are the diff's DELETE set; drop every other
+    # one (% 26) so the snapshot keeps genuinely untouched rows too
+    deletes = base.filter(F.col("source_id") % 26 == 0).select("source_id")
+    SK.merge_upsert_partitioned(
+        spark, path, updates.select("*", part), ["source_id"], ["part"],
+        deletes=deletes,
+    )
+    return spark.read.parquet(path).select("source_id", "street", "housenumber")
+
+
 def boundary_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 + F5: AGS-normalized boundary candidate ranking."""
     from .norm import names as NM
@@ -963,10 +988,17 @@ def image_resize_stats_sql() -> str:
 KNN_RES_LIST = [13, 10, 8]
 
 
-def knn_nearest_street(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
+def knn_nearest_street(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 1,
+    dim_strategy: str = "broadcast",
+) -> DataFrame:
     """J10: nearest street per point via k-ring candidate expansion with
     guarantee-based escalation (exact — value-checked against the oracle's
-    brute-force cross join)."""
+    brute-force cross join). ``dim_strategy='shuffle'`` exercises the
+    salted shuffle join for target sets beyond broadcast size (the
+    reference's national imports, ShapeReader.java:189-201)."""
     from .operators import knn as KN
     from .sources import streets as ST
     from .sources import synthetic as S
@@ -974,6 +1006,7 @@ def knn_nearest_street(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFram
     pts = S.points_df(spark, sf_dir).select("point_id", "lon", "lat")
     targets = ST.street_points_df(spark, sf_dir)
     out = KN.knn_nearest_multires(
-        pts, targets, res_list=KNN_RES_LIST, k_ring=1, n_neighbors=k
+        pts, targets, res_list=KNN_RES_LIST, k_ring=1, n_neighbors=k,
+        dim_strategy=dim_strategy,
     )
     return out.select("point_id", "street_key", "name", "knn_rank")

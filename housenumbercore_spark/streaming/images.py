@@ -5,10 +5,13 @@ image+caption rows land in a directory; a file-source stream picks each
 file up EXACTLY ONCE (Structured Streaming's file-source log via the
 checkpoint location), runs the per-row invariant gate (recomputed phash
 must match the stored phash — a real decode through images/codec, Arrow-
-batched) and appends accepted rows to the gated table while quarantining
-violations. Restart-safe: re-running after a crash or with new input files
-processes only the unseen files (tested), which is the streaming
-counterpart of checkpoint.py's per-partition batch resume.
+batched) and lands accepted rows in the gated table while quarantining
+violations. Restart-safe INCLUDING mid-batch crashes: each micro-batch
+overwrites its own batch_id=N output directory, so a batch replayed after
+a crash between the sink write and the streaming commit lands in the same
+place instead of appending duplicates, and re-running with new input
+files processes only the unseen files (both tested). This is the
+streaming counterpart of checkpoint.py's per-partition batch resume.
 
 Scale shape: the gate is a map-only transform on the stream (no state, no
 shuffle); throughput scales with input-file parallelism exactly like the
@@ -93,21 +96,31 @@ def run_image_gate(
     checkpoint_dir: str,
 ) -> dict:
     """Drain everything currently in ``src_dir`` (availableNow trigger),
-    appending gated rows to ``out_dir/accepted`` and violations to
-    ``out_dir/rejected``. Idempotent across restarts: the checkpoint's
-    file log skips already-processed input files. Returns counts."""
+    landing gated rows under ``out_dir/accepted`` and violations under
+    ``out_dir/rejected``. Exactly-once END TO END: the checkpoint's file
+    log picks each input file up once, and the sink is idempotent per
+    micro-batch — every batch OVERWRITES its own ``batch_id=N``
+    subdirectory, so a crash after the write but before the streaming
+    commit replays the batch into the same directory instead of
+    duplicating rows (a plain append sink would double them). Readers see
+    the batch id as a partition column. Returns counts."""
+    import shutil
+
     gated = image_stream(spark, src_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            (
-                batch_df.filter(F.col("gate_ok")).drop("gate_ok")
-                .write.mode("append").parquet(f"{out_dir}/accepted")
-            )
+            acc = batch_df.filter(F.col("gate_ok")).drop("gate_ok")
             rej = batch_df.filter(~F.col("gate_ok")).drop("gate_ok")
-            if rej.limit(1).count():
-                rej.write.mode("append").parquet(f"{out_dir}/rejected")
+            for part, dest in ((acc, "accepted"), (rej, "rejected")):
+                pdir = f"{out_dir}/{dest}/batch_id={batch_id}"
+                if part.limit(1).count():
+                    part.write.mode("overwrite").parquet(pdir)
+                else:
+                    # clear a possible partial dir from a crashed attempt —
+                    # an empty replay must not leave stale rows behind
+                    shutil.rmtree(pdir, ignore_errors=True)
         finally:
             batch_df.unpersist()
 

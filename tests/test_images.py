@@ -105,6 +105,43 @@ class TestCodec:
         with pytest.raises(ValueError):
             codec.decode_image(b"garbage-bytes")
 
+    def test_real_jpeg_adapter_seam(self):
+        """register_codec hosts a REAL codec: a mock PIL-like JPEG (SOI
+        magic) plugs in with one call, encode_image/decode_image dispatch
+        to it, and the built-ins keep working — so the jpgq→JPEG swap is a
+        one-liner wherever PIL/libjpeg exists."""
+        import struct
+
+        saved_enc = dict(codec._ENCODERS)
+        saved_dec = list(codec._DECODERS)
+        MAGIC = b"\xff\xd8MOCK"
+        try:
+            def enc(px):
+                h, w, _ = px.shape
+                return MAGIC + struct.pack(">II", w, h) + px.tobytes()
+
+            def dec(b):
+                w, h = struct.unpack_from(">II", b, len(MAGIC))
+                return (
+                    np.frombuffer(b[len(MAGIC) + 8:], dtype=np.uint8)
+                    .reshape(h, w, 3)
+                )
+
+            codec.register_codec("jpeg", enc, dec, lambda b: b[:6] == MAGIC)
+            px = IMG.make_pixels(42)
+            buf = codec.encode_image(px, "jpeg")
+            assert buf[:6] == MAGIC
+            assert (codec.decode_image(buf) == px).all()
+            # built-in formats still dispatch behind the registered codec
+            assert (codec.decode_image(codec.encode_image(px, "png")) == px).all()
+            assert (
+                codec.decode_image(codec.encode_image(px, "jpgq")) != px
+            ).any()
+        finally:
+            codec._ENCODERS.clear()
+            codec._ENCODERS.update(saved_enc)
+            codec._DECODERS[:] = saved_dec
+
 
 class TestImagesTable:
     @pytest.fixture(scope="class")
@@ -152,6 +189,21 @@ class TestImagesTable:
         summ = IU.invariant_summary(IU.check_invariants(corrupted, images)).collect()[0]
         assert summ.n_pixel_violations == 1
         assert summ.n_caption_violations == 1
+
+    def test_null_payload_counted_as_pixel_violation(self, spark, images):
+        """A NULL payload must reach the decode path and surface as a pixel
+        violation — plain `==` split dropped such rows from the invariant
+        check entirely (round-2 ADVICE)."""
+        nulled = images.withColumn(
+            "bytes",
+            F.when(
+                F.col("image_id") == "img0000000005",
+                F.lit(None).cast("binary"),
+            ).otherwise(F.col("bytes")),
+        )
+        summ = IU.invariant_summary(IU.check_invariants(nulled, images)).collect()[0]
+        assert summ.n_rows == 300
+        assert summ.n_pixel_violations == 1
 
     def test_decode_stats_phash_matches_column(self, spark, images):
         stats = IU.decode_stats(images)

@@ -38,6 +38,10 @@ QUERIES = [
     "checkpoint_image_lineage",
     "spatial_window_read",
     "stream_image_gate",
+    "image_invariants",
+    "image_decode_stats",
+    "knn_nearest_street_shuffle",
+    "merge_upsert_snapshot",
 ]
 
 

@@ -91,6 +91,61 @@ def test_merge_upsert_clears_emptied_partition(spark):
     assert [r.job_id for r in got.select("job_id").distinct().collect()] == [0]
 
 
+def test_merge_upsert_escaped_partition_values(spark):
+    """Partition values with characters Spark percent-escapes in directory
+    names (space, ':') must still be located for emptied-partition cleanup —
+    composing f"{col}={value}" missed them and resurrected the deleted rows
+    (round-2 ADVICE)."""
+    rows = [("a b:c", i, f"v1-{i}") for i in range(3)] + [
+        ("plain", i, f"p-{i}") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "city string, rec_id int, payload string")
+    path = tempfile.mkdtemp(prefix="hns_merge_esc_")
+    SK.write_partitioned(df, path, ["city"])
+    assert not os.path.exists(os.path.join(path, "city=a b:c")), (
+        "precondition: Spark escapes the directory name"
+    )
+
+    updates = spark.createDataFrame([], "city string, rec_id int, payload string")
+    deletes = spark.createDataFrame(
+        [("a b:c", i) for i in range(3)], "city string, rec_id int"
+    )
+    SK.merge_upsert_partitioned(
+        spark, path, updates, ["city", "rec_id"], ["city"], deletes=deletes
+    )
+    got = spark.read.parquet(path)
+    assert got.count() == 3
+    assert [r.city for r in got.select("city").distinct().collect()] == ["plain"]
+
+
+def test_merge_upsert_single_data_write(spark, monkeypatch):
+    """The commit path must write each touched partition's data exactly
+    ONCE (stage inside the table + directory swap) — the old staging-table
+    protocol wrote it twice."""
+    calls = []
+    real = SK.write_partitioned
+
+    def counting(df, path, partition_cols, dynamic=True):
+        calls.append(path)
+        return real(df, path, partition_cols, dynamic)
+
+    path = tempfile.mkdtemp(prefix="hns_merge_once_")
+    SK.write_partitioned(_jobs_df(spark, [0, 1], "v1"), path, ["job_id"])
+    monkeypatch.setattr(SK, "write_partitioned", counting)
+    updates = spark.createDataFrame(
+        [(1, 0, "v2-upd")], "job_id int, rec_id int, payload string"
+    )
+    SK.merge_upsert_partitioned(spark, path, updates, ["job_id", "rec_id"], ["job_id"])
+    assert len(calls) == 1, calls
+    assert calls[0].startswith(os.path.join(path, "_stage_"))
+    assert not [d for d in os.listdir(path) if d.startswith("_stage_")], (
+        "staging dir must be cleaned up"
+    )
+    got = {(r.job_id, r.rec_id): r.payload for r in spark.read.parquet(path).collect()}
+    assert got[(1, 0)] == "v2-upd" and got[(0, 0)] == "v1-0-0"
+    assert len(got) == 10
+
+
 def test_merge_upsert_clears_emptied_nested_partition(spark):
     """Multi-column partitioning: the emptied-partition cleanup must build
     the nested job_id=/day= directory path correctly."""

@@ -45,6 +45,30 @@ def test_gate_accepts_valid_and_quarantines_corrupt(spark, tmp_path):
     assert rej_ids == {f"img{i:010d}" for i in (0, 10, 20, 30)}
 
 
+def test_midbatch_crash_replay_is_idempotent(spark, tmp_path):
+    """A crash AFTER the sink wrote a batch's rows but BEFORE the streaming
+    commit replays the batch on restart; the per-batch-id overwrite sink
+    must land the replay in the same directory instead of duplicating rows
+    (round-2 ADVICE: plain append was only at-least-once)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, 0, 10)
+
+    # simulate the crashed first attempt: batch 0's output dir already
+    # holds rows (here: a partial, wrong subset) but the checkpoint never
+    # committed, so the restarted query reprocesses the same input as batch 0
+    IMG.images_df(spark, 3).write.mode("overwrite").parquet(
+        f"{out}/accepted/batch_id=0"
+    )
+
+    res = SI.run_image_gate(spark, src, out, ckpt)
+    assert res == {"accepted_total": 10, "rejected_total": 0}
+    acc = spark.read.parquet(f"{out}/accepted")
+    assert acc.count() == 10
+    assert acc.select("image_id").distinct().count() == 10
+
+
 def test_restart_processes_only_new_files(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")

@@ -77,6 +77,66 @@ def test_knn_ring_expansion_covers_targets(spark):
     assert len(out) == 1 and out[0].street_key == 7
 
 
+def test_knn_shuffle_path_vs_oracle(spark, con):
+    """dim_strategy='shuffle' (salted cell join, no broadcast of the ring
+    dim) must match the oracle with broadcasts globally disabled — the path
+    for national-scale target sets beyond any broadcast threshold."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = P.knn_nearest_street(spark, SF, k=1, dim_strategy="shuffle")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # candidate join must be a shuffled equi-join — never a cartesian
+        # product; the only broadcast left is the 9-row ring-offsets dim
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = df.toPandas()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    want = con.execute(O.knn_nearest_street_sql(1)).df()
+    _cmp(got, want, sorted(got.columns))
+
+
+def test_knn_map_payload_takes_window_path(spark):
+    """A MapType target payload (hstore-style tags) must not break k=1: the
+    argmin struct aggregate cannot order maps, so the operator detects the
+    unorderable column and takes the window rank path (round-2 ADVICE)."""
+    from housenumbercore_spark.operators import knn as KN
+
+    pts = spark.createDataFrame(
+        [(1, 6.01, 50.01), (2, 7.4, 50.8)],
+        "point_id long, lon double, lat double",
+    )
+    targets = spark.createDataFrame(
+        [(7, {"highway": "residential"}, 7.5, 50.9),
+         (8, {"highway": "primary"}, 6.0, 50.0)],
+        "street_key long, tags map<string,string>, slon double, slat double",
+    )
+    out = {
+        r.point_id: (r.street_key, r.tags)
+        for r in KN.knn_nearest(pts, targets, res=4, k_ring=1).collect()
+    }
+    assert out[1] == (8, {"highway": "primary"})
+    assert out[2] == (7, {"highway": "residential"})
+
+
+def test_knn_auto_strategy_picks_a_valid_path(spark):
+    """'auto' must resolve to one of the two concrete paths and return the
+    same rows either way (small parquet-backed dim → typically broadcast)."""
+    from housenumbercore_spark.operators import knn as KN
+    from housenumbercore_spark.sources import streets as ST
+    from housenumbercore_spark.sources import synthetic as S
+
+    pts = S.points_df(spark, SF).select("point_id", "lon", "lat").limit(200)
+    targets = ST.street_points_df(spark, SF)
+    a = KN.knn_nearest(pts, targets, res=8, k_ring=1, dim_strategy="auto")
+    b = KN.knn_nearest(pts, targets, res=8, k_ring=1, dim_strategy="broadcast")
+    cols = ["point_id", "street_key"]
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )
+
+
 def test_streets_in_areas_touch_and_collinear_degeneracies(spark):
     """Inclusive intersect semantics on exact touch cases, validated per
     segment against the python kernel (line_intersects_polygon)."""
