@@ -348,13 +348,14 @@ def oracle_sql() -> dict[str, str]:
             "ON img.lon >= a.xmin AND img.lon <= a.xmax "
             "AND img.lat >= a.ymin AND img.lat <= a.ymax"
         ),
-        # decode verification: dims and recomputed-phash agreement are
-        # deterministic generator facts; Spark derives them by decoding
+        # decode verification: dims, sniffed container format and
+        # recomputed-phash agreement are deterministic generator facts;
+        # Spark derives all of them from the payload by decoding
         "image_decode_stats": (
             "SELECT 'img' || lpad(CAST(i AS VARCHAR), 10, '0') AS image_id, "
             f"CAST({IMG_W} AS BIGINT) AS w_decoded, "
             f"CAST({IMG_H} AS BIGINT) AS h_decoded, "
-            "CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpgq' END AS fmt, "
+            "CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpgq' END AS fmt_decoded, "
             "TRUE AS phash_match "
             f"FROM range({N_IMAGES}) t(i)"
         ),

@@ -147,10 +147,11 @@ def decode_jpgq(buf: bytes) -> np.ndarray:
 #: is registered (see register_codec + tests/test_images.py seam test).
 _ENCODERS = {"png": encode_png, "jpgq": encode_jpgq, "jpeg": encode_jpgq}
 
-#: ordered (sniff-over-leading-bytes, decoder) pairs; first match wins.
+#: ordered (sniff-over-leading-bytes, decoder, fmt name) triples; first
+#: sniff match wins.
 _DECODERS: list = [
-    (lambda b: b[:8] == PNG_SIG, decode_png),
-    (lambda b: b[:4] == JPGQ_MAGIC, decode_jpgq),
+    (lambda b: b[:8] == PNG_SIG, decode_png, "png"),
+    (lambda b: b[:4] == JPGQ_MAGIC, decode_jpgq, "jpgq"),
 ]
 
 
@@ -165,12 +166,34 @@ def register_codec(fmt, encoder, decoder, sniff) -> None:
 
     Every call site (invariant check, decode stats, streaming gate, resize)
     routes through :func:`encode_image` / :func:`decode_image`, so one
-    registration switches the whole engine. The registered decoder is
-    sniffed FIRST, so it takes precedence over the built-ins. Proven by
-    tests/test_images.py::test_real_jpeg_adapter_seam with a mock PIL-like
-    codec."""
+    registration switches the whole engine: the engine's mapInPandas
+    closures snapshot this registry at plan-construction time and install
+    it inside each Python worker (see :func:`registry_snapshot` — a plain
+    driver-side mutation would be invisible to workers, which re-import
+    this module fresh). Registered functions must therefore be
+    cloudpickle-serializable (lambdas/closures are; avoid references to
+    unpicklable state). The registered decoder is sniffed FIRST, so it
+    takes precedence over the built-ins. Proven end to end (through a
+    Spark worker) by tests/test_images.py::test_real_jpeg_adapter_seam."""
     _ENCODERS[fmt] = encoder
-    _DECODERS.insert(0, (sniff, decoder))
+    _DECODERS.insert(0, (sniff, decoder, fmt))
+
+
+def registry_snapshot():
+    """Driver-side snapshot of the codec registry for shipping into Spark
+    Python workers. Every engine mapInPandas that decodes/encodes captures
+    this at DataFrame-construction time and calls
+    :func:`install_registry` first thing inside the worker."""
+    return (dict(_ENCODERS), list(_DECODERS))
+
+
+def install_registry(snap) -> None:
+    """Install a :func:`registry_snapshot` into this process (worker-side
+    counterpart; idempotent)."""
+    enc, dec = snap
+    _ENCODERS.clear()
+    _ENCODERS.update(enc)
+    _DECODERS[:] = list(dec)
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
@@ -180,9 +203,19 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     return enc(pixels)
 
 
+def sniff_fmt(buf: bytes) -> str | None:
+    """Container format of a payload by magic bytes (registry order), or
+    None if unrecognized — the DERIVED counterpart of a stored fmt column."""
+    b = bytes(buf)
+    for sniff, _dec, name in _DECODERS:
+        if sniff(b):
+            return name
+    return None
+
+
 def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
     b = bytes(buf)
-    for sniff, dec in _DECODERS:
+    for sniff, dec, _name in _DECODERS:
         if sniff(b):
             return dec(b)
     raise ValueError(f"unrecognized image payload (fmt hint: {fmt})")

@@ -38,8 +38,10 @@ _RESIZE_SCHEMA = T.StructType(
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Decode → nearest-resample to (out_w, out_h) → re-encode in the row's
     own fmt. Captions pass through byte-identical (north-rule invariant)."""
+    snap = codec.registry_snapshot()  # ship registered codecs to workers
 
     def gen(batches):
+        codec.install_registry(snap)
         for pdf in batches:
             rows = []
             for iid, buf, fmt, cap in zip(
@@ -70,8 +72,10 @@ def frame_sample(df: DataFrame, every_k: int) -> DataFrame:
     """Unpack each VID1 container and keep every k-th frame (decoded to get
     real dimensions) — one input row explodes to ceil(n_frames/k) rows
     inside the same partition."""
+    snap = codec.registry_snapshot()
 
     def gen(batches):
+        codec.install_registry(snap)
         for pdf in batches:
             rows = []
             for vid, buf in zip(pdf["video_id"], pdf["bytes"]):

@@ -61,8 +61,9 @@ def check_invariants(
     # pure whole-stage codegen.
     cap_ok_col = F.col("__oc").eqNullSafe(F.col("__sc"))
     # NULL-safe split: byte_equal is TRUE only for non-null identical
-    # payloads; every other row — including NULL payloads, where plain `==`
-    # is NULL and would drop the row from BOTH branches — falls through to
+    # payloads (the isNotNull conjuncts force FALSE — never NULL — under
+    # three-valued logic); every other row, including NULL payloads where
+    # plain `==` would drop the row from BOTH branches, falls through to
     # the decode path and surfaces as pixels_ok=False there.
     byte_equal = (
         F.col("__ob").isNotNull()
@@ -75,9 +76,12 @@ def check_invariants(
         F.lit(True).alias("pixels_ok"),
         cap_ok_col.alias("caption_ok"),
     )
-    diff = joined.filter(~F.coalesce(byte_equal, F.lit(False)))
+    diff = joined.filter(~byte_equal)
+
+    snap = codec.registry_snapshot()  # ship registered codecs to workers
 
     def gen(batches):
+        codec.install_registry(snap)
         for pdf in batches:
             n = len(pdf)
             psnr_v = np.zeros(n)
@@ -140,39 +144,43 @@ def invariant_gate_summary(check_df: DataFrame) -> DataFrame:
 
 def decode_check(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Per-row decode verification with SQL-predictable outputs:
-    (image_id, w_decoded, h_decoded, fmt, phash_match).
+    (image_id, w_decoded, h_decoded, fmt_decoded, phash_match).
 
-    ``w_decoded``/``h_decoded`` come from the decoded pixel array's shape
-    and ``phash_match`` recomputes the 64-bit DCT hash from those pixels and
-    compares it to the stored column — a full decode + hash round-trip per
-    row, Arrow-batched. A corrupted payload yields (-1, -1, false)."""
+    Every column is DERIVED from the payload, never echoed from stored
+    metadata: ``w_decoded``/``h_decoded`` come from the decoded pixel
+    array's shape, ``fmt_decoded`` from sniffing the container magic bytes
+    (so a PNG payload mislabeled 'jpgq' in the fmt column WOULD fail the
+    oracle), and ``phash_match`` recomputes the 64-bit DCT hash from the
+    decoded pixels against the stored column — a full decode + hash
+    round-trip per row, Arrow-batched. A corrupted payload yields
+    (-1, -1, '?', false)."""
     schema = T.StructType(
         [
             T.StructField("image_id", T.StringType(), False),
             T.StructField("w_decoded", T.LongType(), False),
             T.StructField("h_decoded", T.LongType(), False),
-            T.StructField("fmt", T.StringType(), False),
+            T.StructField("fmt_decoded", T.StringType(), False),
             T.StructField("phash_match", T.BooleanType(), False),
         ]
     )
-    src = df.select(
-        "image_id", F.col(bytes_col).alias("__b"), "fmt", "phash"
-    )
+    src = df.select("image_id", F.col(bytes_col).alias("__b"), "phash")
+    snap = codec.registry_snapshot()
 
     def gen(batches):
+        codec.install_registry(snap)
         for pdf in batches:
             rows = []
-            for iid, buf, fmt, ph in zip(
-                pdf["image_id"], pdf["__b"], pdf["fmt"], pdf["phash"]
-            ):
+            for iid, buf, ph in zip(pdf["image_id"], pdf["__b"], pdf["phash"]):
                 try:
-                    px = codec.decode_image(bytes(buf))
+                    b = bytes(buf)
+                    px = codec.decode_image(b)
                     rows.append(
-                        (iid, px.shape[1], px.shape[0], fmt,
+                        (iid, px.shape[1], px.shape[0],
+                         codec.sniff_fmt(b) or "?",
                          codec.phash64(px) == int(ph))
                     )
                 except Exception:
-                    rows.append((iid, -1, -1, fmt, False))
+                    rows.append((iid, -1, -1, "?", False))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return src.mapInPandas(gen, schema)
@@ -193,8 +201,10 @@ def decode_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         ]
     )
     src = df.select("image_id", F.col(bytes_col).alias("__b"))
+    snap = codec.registry_snapshot()
 
     def gen(batches):
+        codec.install_registry(snap)
         for pdf in batches:
             rows = []
             for iid, buf in zip(pdf["image_id"], pdf["__b"]):

@@ -644,12 +644,12 @@ def stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SI.run_image_gate(spark, src, out, ckpt)
     acc = (
-        spark.read.parquet(f"{out}/accepted")
+        SI.read_gated(spark, out, "accepted")
         .groupBy("fmt")
         .agg(F.count(F.lit(1)).alias("n_accepted"))
     )
     rej = (
-        spark.read.parquet(f"{out}/rejected")
+        SI.read_gated(spark, out, "rejected")
         .groupBy("fmt")
         .agg(F.count(F.lit(1)).alias("n_rejected"))
     )

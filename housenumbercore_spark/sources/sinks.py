@@ -52,16 +52,6 @@ def write_partitioned(
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _part_value_str(v) -> str | None:
-    """Python partition value → the string Spark writes into the directory
-    name (before percent-escaping). None means the NULL partition."""
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
-
-
 def _decode_part_dir(name: str) -> tuple[str, str | None]:
     """On-disk ``col=escaped-value`` directory name → (col, decoded value).
     Spark percent-escapes special characters (space, ':', '/', …) and writes
@@ -73,44 +63,62 @@ def _decode_part_dir(name: str) -> tuple[str, str | None]:
     return col, (None if raw == _HIVE_NULL else unquote(raw))
 
 
-def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
-    """Relative paths of all ``col=value`` partition leaf dirs exactly
-    ``depth`` levels under ``root``."""
-    import os
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(jvm, FileSystem, Path) for ``path`` through Hadoop's FileSystem API —
+    the commit below works on any Hadoop filesystem (file:, hdfs:, …), not
+    just driver-local POSIX paths. On rename-as-copy object stores (s3a)
+    it still commits correctly but each swap costs a server-side copy;
+    use an Iceberg catalog there instead."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
 
-    out: list[str] = []
 
-    def rec(cur: str, rel: str, d: int) -> None:
+def _fs_leaf_partition_dirs(fs, base, depth: int) -> list[list[str]]:
+    """Name-components of every ``col=value`` partition leaf dir exactly
+    ``depth`` levels under ``base``."""
+    out: list[list[str]] = []
+
+    def rec(p, rel: list[str], d: int) -> None:
         if d == 0:
             out.append(rel)
             return
-        for name in sorted(os.listdir(cur)):
-            p = os.path.join(cur, name)
-            if os.path.isdir(p) and "=" in name and not name.startswith(("_", ".")):
-                rec(p, os.path.join(rel, name) if rel else name, d - 1)
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith(("_", ".")):
+                rec(st.getPath(), rel + [name], d - 1)
 
-    rec(root, "", depth)
+    rec(base, [], depth)
     return out
 
 
-def _find_partition_dir(path: str, partition_cols: list[str], values: tuple) -> str | None:
-    """Locate a partition directory by DECODED value comparison, level by
-    level (robust to Hive percent-escaping and the NULL marker)."""
-    import os
-
-    cur = path
-    for col, want in zip(partition_cols, values):
+def _fs_find_partition_dir(fs, base, values: tuple) -> list[str] | None:
+    """Name-components of the partition dir under ``base`` whose DECODED
+    values equal ``values`` (robust to Hive percent-escaping and the NULL
+    marker), or None if absent."""
+    cur = base
+    rel: list[str] = []
+    for want in values:
         nxt = None
-        if os.path.isdir(cur):
-            for name in os.listdir(cur):
-                c, v = _decode_part_dir(name)
-                if c == col and v == want and os.path.isdir(os.path.join(cur, name)):
-                    nxt = os.path.join(cur, name)
+        if fs.exists(cur):
+            for st in fs.listStatus(cur):
+                if not st.isDirectory():
+                    continue
+                name = st.getPath().getName()
+                if _decode_part_dir(name)[1] == want:
+                    nxt = st.getPath()
+                    rel.append(name)
                     break
         if nxt is None:
             return None
         cur = nxt
-    return cur
+    return rel
+
+
+def _fs_rename(fs, src, dst) -> None:
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
 
 
 def merge_upsert_partitioned(
@@ -132,22 +140,30 @@ def merge_upsert_partitioned(
 
     Commit protocol (parquet cannot overwrite a path it is reading, and the
     old staging-table double-write cost 2× I/O on every touched partition):
-    the merged partitions are written ONCE into an underscore-prefixed
-    staging directory INSIDE the destination table (invisible to readers —
-    Spark/Hadoop ignore ``_``/``.`` paths), then each staged partition
-    directory is swapped into place with a driver-side rename (same
-    filesystem by construction; metadata ops at partition count, never row
-    count). Per-partition atomic, like Hive/Spark's own dynamic-overwrite
-    commit; an Iceberg catalog upgrades this to one atomic multi-partition
-    snapshot swap with the SAME single data write.
 
-    A touched partition whose merged row count drops to ZERO has no staged
-    directory; its on-disk directory is removed explicitly, located by
-    decoded-value matching (Hive percent-escaping / NULL marker safe).
+    1. merged partitions are written ONCE into ``_stage_<uuid>`` INSIDE the
+       destination table (underscore paths are invisible to readers);
+    2. each staged partition directory is swapped in via the Hadoop
+       FileSystem API — the partition's PREVIOUS directory moves to
+       ``_old_<uuid>`` first, so at no point is any partition's only copy
+       deleted; then the staged dir renames into place (metadata ops at
+       partition count, never row count);
+    3. touched partitions whose merged row count dropped to ZERO have no
+       staged dir; their on-disk dirs (located by DECODED value matching —
+       Hive percent-escaping / NULL marker safe; expected values rendered
+       by the JVM ``CAST(value AS STRING)``, which is exactly the directory
+       naming, where Python ``str()`` diverges for doubles/timestamps)
+       also move to ``_old_<uuid>``;
+    4. on success both ``_stage_``/``_old_`` dirs are deleted; on failure
+       they are LEFT IN PLACE (still invisible to readers) so every
+       partition's data survives for recovery — per-partition atomic, the
+       same guarantee as Hive/Spark's own dynamic-overwrite commit. An
+       Iceberg catalog upgrades this to one atomic multi-partition
+       snapshot swap with the SAME single data write.
     """
-    import os
-    import shutil
     import uuid
+
+    from pyspark.sql import functions as F
 
     current = spark.read.parquet(path)
     touched = updates.select(*partition_cols).dropDuplicates()
@@ -164,29 +180,43 @@ def merge_upsert_partitioned(
     if deletes is not None:
         kept = kept.join(deletes.select(*keys).dropDuplicates(), keys, "left_anti")
     merged = kept.unionByName(updates.select(*current.columns))
-    touched_rows = touched.collect()  # partition-count scale, never row scale
+    # partition-count-scale collect, never row scale; values rendered to
+    # strings by the JVM so they compare equal to the directory names
+    touched_rows = touched.select(
+        *[F.col(c).cast("string").alias(c) for c in partition_cols]
+    ).collect()
 
-    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
-    try:
-        write_partitioned(merged, stage, partition_cols, dynamic=False)
-        staged_rels = _leaf_partition_dirs(stage, len(partition_cols))
-        staged_vals: set[tuple] = set()
-        for rel in staged_rels:
-            vals = tuple(
-                _decode_part_dir(p)[1] for p in rel.split(os.sep)
-            )
-            staged_vals.add(vals)
-            dest = os.path.join(path, rel)
-            if os.path.isdir(dest):
-                shutil.rmtree(dest)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.rename(os.path.join(stage, rel), dest)
-        for row in touched_rows:
-            want = tuple(_part_value_str(row[c]) for c in partition_cols)
-            if want in staged_vals:
-                continue
-            gone = _find_partition_dir(path, partition_cols, want)
-            if gone is not None:
-                shutil.rmtree(gone, ignore_errors=True)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    run_id = uuid.uuid4().hex
+    stage_name, trash_name = f"_stage_{run_id}", f"_old_{run_id}"
+    write_partitioned(
+        merged, path.rstrip("/") + "/" + stage_name, partition_cols, dynamic=False
+    )
+    jvm, fs, root = _hadoop_fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    stage, trash = Path(root, stage_name), Path(root, trash_name)
+    staged_rels = _fs_leaf_partition_dirs(fs, stage, len(partition_cols))
+    staged_vals = {
+        tuple(_decode_part_dir(n)[1] for n in rel) for rel in staged_rels
+    }
+    emptied_rels = []
+    for row in touched_rows:
+        want = tuple(row[c] for c in partition_cols)
+        if want not in staged_vals:
+            rel = _fs_find_partition_dir(fs, root, want)
+            if rel is not None:
+                emptied_rels.append(rel)
+    # all enumeration done — now the swap; any failure leaves _stage_/_old_
+    # behind with every partition recoverable
+    for rel in staged_rels + emptied_rels:
+        dest = Path(root, "/".join(rel))
+        if fs.exists(dest):
+            tdest = Path(trash, "/".join(rel))
+            fs.mkdirs(tdest.getParent())
+            _fs_rename(fs, dest, tdest)
+    for rel in staged_rels:
+        dest = Path(root, "/".join(rel))
+        if len(rel) > 1:
+            fs.mkdirs(dest.getParent())
+        _fs_rename(fs, Path(stage, "/".join(rel)), dest)
+    fs.delete(stage, True)
+    fs.delete(trash, True)

@@ -81,12 +81,36 @@ def image_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Unstarted streaming plan: file-source stream over ``src_dir`` with
     the decode/phash/dims gate column attached."""
     stream = spark.readStream.schema(IMAGE_SCHEMA).parquet(src_dir)
+    snap = codec.registry_snapshot()  # ship registered codecs to workers
 
     def gen(batches):
+        codec.install_registry(snap)
         for pdf in batches:
             yield _gated_batch(pdf)
 
     return stream.mapInPandas(gen, _GATED_SCHEMA)
+
+
+#: schema of the gate's on-disk output sides: image columns + the
+#: batch_id partition column the idempotent sink writes.
+GATED_OUT_SCHEMA = T.StructType(
+    IMAGE_SCHEMA.fields + [T.StructField("batch_id", T.IntegerType(), True)]
+)
+
+
+def read_gated(spark: SparkSession, out_dir: str, side: str) -> DataFrame:
+    """Schema-stable read of ``out_dir/{side}`` (side = accepted|rejected).
+
+    The explicit schema makes the read safe when the side holds only an
+    empty batch directory left by a crashed attempt whose replay produced
+    zero rows — schema INFERENCE would raise UNABLE_TO_INFER_SCHEMA there.
+    A side that was never written at all reads as an empty DataFrame."""
+    import os
+
+    p = f"{out_dir}/{side}"
+    if not os.path.exists(p):
+        return spark.createDataFrame([], GATED_OUT_SCHEMA)
+    return spark.read.schema(GATED_OUT_SCHEMA).parquet(p)
 
 
 def run_image_gate(
@@ -131,14 +155,7 @@ def run_image_gate(
         .start()
     )
     q.awaitTermination()
-    import os
-
-    n_acc = (
-        spark.read.parquet(f"{out_dir}/accepted").count()
-        if os.path.exists(f"{out_dir}/accepted") else 0
-    )
-    n_rej = (
-        spark.read.parquet(f"{out_dir}/rejected").count()
-        if os.path.exists(f"{out_dir}/rejected") else 0
-    )
-    return {"accepted_total": n_acc, "rejected_total": n_rej}
+    return {
+        "accepted_total": read_gated(spark, out_dir, "accepted").count(),
+        "rejected_total": read_gated(spark, out_dir, "rejected").count(),
+    }

@@ -105,11 +105,14 @@ class TestCodec:
         with pytest.raises(ValueError):
             codec.decode_image(b"garbage-bytes")
 
-    def test_real_jpeg_adapter_seam(self):
+    def test_real_jpeg_adapter_seam(self, spark):
         """register_codec hosts a REAL codec: a mock PIL-like JPEG (SOI
         magic) plugs in with one call, encode_image/decode_image dispatch
-        to it, and the built-ins keep working — so the jpgq→JPEG swap is a
-        one-liner wherever PIL/libjpeg exists."""
+        to it, the built-ins keep working, AND the registration reaches
+        Spark Python workers (the engine's mapInPandas closures snapshot
+        the registry — a bare module-global mutation would be invisible in
+        the workers' fresh imports). So the jpgq→JPEG swap is a one-liner
+        wherever PIL/libjpeg exists."""
         import struct
 
         saved_enc = dict(codec._ENCODERS)
@@ -132,11 +135,26 @@ class TestCodec:
             buf = codec.encode_image(px, "jpeg")
             assert buf[:6] == MAGIC
             assert (codec.decode_image(buf) == px).all()
+            assert codec.sniff_fmt(buf) == "jpeg"
             # built-in formats still dispatch behind the registered codec
             assert (codec.decode_image(codec.encode_image(px, "png")) == px).all()
             assert (
                 codec.decode_image(codec.encode_image(px, "jpgq")) != px
             ).any()
+
+            # through a Spark worker: decode_check must decode the mock
+            # format there (this is the path a driver-only registry broke)
+            from housenumbercore_spark.images import udfs as IU
+
+            px7 = IMG.make_pixels(7)
+            df = spark.createDataFrame(
+                [("m1", bytearray(enc(px7)), codec.phash64(px7))],
+                "image_id string, bytes binary, phash long",
+            )
+            row = IU.decode_check(df).collect()[0]
+            assert (row.w_decoded, row.h_decoded) == (IMG.IMG_W, IMG.IMG_H)
+            assert row.fmt_decoded == "jpeg"
+            assert row.phash_match
         finally:
             codec._ENCODERS.clear()
             codec._ENCODERS.update(saved_enc)

@@ -118,6 +118,33 @@ def test_merge_upsert_escaped_partition_values(spark):
     assert [r.city for r in got.select("city").distinct().collect()] == ["plain"]
 
 
+def test_merge_upsert_clears_emptied_double_partition(spark):
+    """Partition values whose JVM rendering differs from Python str() —
+    doubles like 1e-7 render as '1.0E-7' on disk — must still be located
+    for emptied-partition cleanup (expected names come from CAST AS STRING
+    in the JVM, not Python formatting)."""
+    df = spark.createDataFrame(
+        [(1e-7, i, f"a-{i}") for i in range(3)]
+        + [(2.5, i, f"b-{i}") for i in range(3)],
+        "bucket double, rec_id int, payload string",
+    )
+    path = tempfile.mkdtemp(prefix="hns_merge_dbl_")
+    SK.write_partitioned(df, path, ["bucket"])
+    assert os.path.exists(os.path.join(path, "bucket=1.0E-7"))
+
+    updates = spark.createDataFrame([], "bucket double, rec_id int, payload string")
+    deletes = spark.createDataFrame(
+        [(1e-7, i) for i in range(3)], "bucket double, rec_id int"
+    )
+    SK.merge_upsert_partitioned(
+        spark, path, updates, ["bucket", "rec_id"], ["bucket"], deletes=deletes
+    )
+    assert not os.path.exists(os.path.join(path, "bucket=1.0E-7"))
+    got = spark.read.parquet(path)
+    assert got.count() == 3
+    assert [r.bucket for r in got.select("bucket").distinct().collect()] == [2.5]
+
+
 def test_merge_upsert_single_data_write(spark, monkeypatch):
     """The commit path must write each touched partition's data exactly
     ONCE (stage inside the table + directory swap) — the old staging-table

@@ -69,6 +69,24 @@ def test_midbatch_crash_replay_is_idempotent(spark, tmp_path):
     assert acc.select("image_id").distinct().count() == 10
 
 
+def test_replay_with_all_rows_rejected_after_partial_accept(spark, tmp_path):
+    """Crash left a partial accepted/batch_id=0 dir, and the replayed batch
+    rejects EVERY row: the empty accepted side must not crash the post-run
+    count (schema inference has nothing to read — read_gated carries the
+    schema) and the partial rows must be gone."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, 0, 8, corrupt_every=1)  # every row corrupt
+
+    IMG.images_df(spark, 3).write.mode("overwrite").parquet(
+        f"{out}/accepted/batch_id=0"
+    )
+    res = SI.run_image_gate(spark, src, out, ckpt)
+    assert res == {"accepted_total": 0, "rejected_total": 8}
+    assert SI.read_gated(spark, out, "accepted").count() == 0
+
+
 def test_restart_processes_only_new_files(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
