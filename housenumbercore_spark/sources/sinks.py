@@ -163,22 +163,42 @@ def merge_upsert_partitioned(
     """
     import uuid
 
+    import functools
+
     from pyspark.sql import functions as F
 
+    # every semi/anti join below matches NULL-SAFELY: plain equi-joins never
+    # match NULL values, which would (a) drop every not-updated row of a
+    # NULL partition from the merged output — the staged overwrite would
+    # then erase them — and (b) make deletes of NULL-keyed rows silent
+    # no-ops. EqualNullSafe is still a hash-joinable equi-condition.
+    def ns(left: str, right: str, cols: list[str]):
+        return functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols],
+        )
+
     current = spark.read.parquet(path)
+    upd_keys = updates.select(*keys).dropDuplicates()
+    del_keys = deletes.select(*keys).dropDuplicates() if deletes is not None else None
     touched = updates.select(*partition_cols).dropDuplicates()
-    if deletes is not None:
+    if del_keys is not None:
         touched = touched.unionByName(
-            current.join(deletes.select(*keys).dropDuplicates(), keys, "left_semi")
+            current.alias("__c")
+            .join(del_keys.alias("__d"), ns("__c", "__d", keys), "left_semi")
             .select(*partition_cols)
             .dropDuplicates()
         ).dropDuplicates()
-    kept = (
-        current.join(touched, partition_cols, "left_semi")
-        .join(updates.select(*keys).dropDuplicates(), keys, "left_anti")
+    kept = current.alias("__cur").join(
+        touched.alias("__tch"), ns("__cur", "__tch", partition_cols), "left_semi"
     )
-    if deletes is not None:
-        kept = kept.join(deletes.select(*keys).dropDuplicates(), keys, "left_anti")
+    kept = kept.alias("__k1").join(
+        upd_keys.alias("__u"), ns("__k1", "__u", keys), "left_anti"
+    )
+    if del_keys is not None:
+        kept = kept.alias("__k2").join(
+            del_keys.alias("__d2"), ns("__k2", "__d2", keys), "left_anti"
+        )
     merged = kept.unionByName(updates.select(*current.columns))
     # partition-count-scale collect, never row scale; values rendered to
     # strings by the JVM so they compare equal to the directory names

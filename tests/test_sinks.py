@@ -145,6 +145,84 @@ def test_merge_upsert_clears_emptied_double_partition(spark):
     assert [r.bucket for r in got.select("bucket").distinct().collect()] == [2.5]
 
 
+def test_merge_upsert_null_partition_value(spark):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__; both the
+    swap-in of its staged replacement and the emptied-partition cleanup
+    must resolve it by the NULL marker, never by string composition."""
+    rows = [(None, 0, "n-0"), (None, 1, "n-1"), ("x", 0, "x-0")]
+    df = spark.createDataFrame(rows, "city string, rec_id int, payload string")
+    path = tempfile.mkdtemp(prefix="hns_merge_null_")
+    SK.write_partitioned(df, path, ["city"])
+    assert os.path.exists(os.path.join(path, "city=__HIVE_DEFAULT_PARTITION__"))
+
+    # update one row inside the NULL partition → staged dir swap-in
+    updates = spark.createDataFrame(
+        [(None, 0, "n-0-v2")], "city string, rec_id int, payload string"
+    )
+    SK.merge_upsert_partitioned(spark, path, updates, ["city", "rec_id"], ["city"])
+    got = {(r.city, r.rec_id): r.payload for r in spark.read.parquet(path).collect()}
+    assert got[(None, 0)] == "n-0-v2" and got[(None, 1)] == "n-1"
+    assert got[("x", 0)] == "x-0" and len(got) == 3
+
+    # now delete every NULL-partition row → emptied-partition cleanup
+    empt = spark.createDataFrame([], "city string, rec_id int, payload string")
+    deletes = spark.createDataFrame(
+        [(None, 0), (None, 1)], "city string, rec_id int"
+    )
+    SK.merge_upsert_partitioned(
+        spark, path, empt, ["city", "rec_id"], ["city"], deletes=deletes
+    )
+    assert not os.path.exists(os.path.join(path, "city=__HIVE_DEFAULT_PARTITION__"))
+    left = spark.read.parquet(path)
+    assert left.count() == 1 and left.collect()[0].payload == "x-0"
+
+
+def test_merge_upsert_randomized_vs_duckdb(spark):
+    """Property-style check of the whole sink: random base/updates/deletes,
+    expected snapshot computed independently in DuckDB from the same CSVs."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    n = 400
+    base = [(int(k), int(k % 7), f"v{int(rng.integers(0, 1000))}") for k in range(n)]
+    upd_keys = sorted(rng.choice(n, size=120, replace=False).tolist())
+    new_keys = list(range(n, n + 30))
+    updates = [(int(k), int(k % 7), f"u{int(rng.integers(0, 1000))}")
+               for k in upd_keys + new_keys]
+    del_keys = sorted(
+        rng.choice([k for k in range(n) if k not in set(upd_keys)],
+                   size=60, replace=False).tolist()
+    )
+
+    path = tempfile.mkdtemp(prefix="hns_merge_rand_")
+    schema = "k int, part int, payload string"
+    SK.write_partitioned(spark.createDataFrame(base, schema), path, ["part"])
+    SK.merge_upsert_partitioned(
+        spark, path, spark.createDataFrame(updates, schema), ["k"], ["part"],
+        deletes=spark.createDataFrame([(k,) for k in del_keys], "k int"),
+    )
+    got = sorted(
+        (r.k, r.part, r.payload) for r in spark.read.parquet(path).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (k int, part int, payload varchar)")
+    con.executemany("INSERT INTO base VALUES (?,?,?)", base)
+    con.execute("CREATE TABLE upd (k int, part int, payload varchar)")
+    con.executemany("INSERT INTO upd VALUES (?,?,?)", updates)
+    con.execute("CREATE TABLE del (k int)")
+    con.executemany("INSERT INTO del VALUES (?)", [(k,) for k in del_keys])
+    want = sorted(
+        tuple(r) for r in con.execute(
+            "SELECT k, part, payload FROM upd UNION ALL "
+            "SELECT k, part, payload FROM base WHERE k NOT IN (SELECT k FROM upd) "
+            "AND k NOT IN (SELECT k FROM del)"
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_merge_upsert_single_data_write(spark, monkeypatch):
     """The commit path must write each touched partition's data exactly
     ONCE (stage inside the table + directory swap) — the old staging-table
