@@ -325,3 +325,64 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    near-duplicate pair graph → (doc_id, cluster_id, is_canonical).
+
+    Completes the dedup suite's "keep one per group" step: pair generators
+    (MinHash/SimHash/n-gram) emit edges; this collapses them into
+    components and elects the minimum doc id as the canonical survivor —
+    a training pipeline keeps ``is_canonical`` rows and drops the rest.
+
+    Algorithm: iterative min-label propagation (each round, every vertex
+    takes the min label among itself and its neighbours) — converges in
+    O(component diameter) rounds, each round one equi-join + one map-side
+    combinable min-aggregate on (id, label) pairs. Near-dup components are
+    small and dense (diameter rarely > a few hops even at corpus scale),
+    which is why plain propagation is the right tool here rather than the
+    large/small-star contraction needed for web-graph-diameter inputs.
+    Rounds localCheckpoint like kNN's multires loop: lineage stays flat,
+    nothing pinned beyond the round. Isolated documents form singleton
+    clusters (canonical by construction).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

@@ -143,3 +143,65 @@ def test_ngram_df_cap_drops_hot_shingles_but_keeps_exact_jaccard(spark):
     # without the cap the boilerplate connects everything
     uncapped = TD.ngram_jaccard_pairs(docs, k=3, threshold=0.1, max_df=100)
     assert uncapped.count() > 1
+
+
+def test_dedup_clusters_vs_duckdb_recursive(spark):
+    """Connected components (min-label propagation) vs a DuckDB recursive-
+    CTE reachability oracle on a graph with a chain, a cycle, a star, and
+    isolated vertices."""
+    from housenumbercore_spark.text import dedup as D
+
+    ids = [f"d{i:02d}" for i in range(12)]
+    edges = [
+        ("d00", "d01"), ("d01", "d02"), ("d02", "d03"),          # chain
+        ("d04", "d05"), ("d05", "d06"), ("d06", "d04"),          # cycle
+        ("d07", "d08"), ("d07", "d09"), ("d07", "d10"),          # star
+    ]                                                             # d11 isolated
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in D.dedup_clusters(docs, pairs).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (id varchar)")
+    con.executemany("INSERT INTO docs VALUES (?)", [(i,) for i in ids])
+    con.execute("CREATE TABLE e (src varchar, dst varchar)")
+    con.executemany(
+        "INSERT INTO e VALUES (?, ?)",
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+    )
+    want = dict(con.execute("""
+        WITH RECURSIVE reach(id, r) AS (
+            SELECT id, id FROM docs
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+        )
+        SELECT id, MIN(r) FROM reach GROUP BY id
+    """).fetchall())
+    assert {k: v[0] for k, v in got.items()} == want
+    for doc, (cluster, canon) in got.items():
+        assert canon == (doc == cluster)
+    assert sum(1 for v in got.values() if v[1]) == 4  # 3 components + isolated
+
+
+def test_dedup_clusters_on_minhash_pairs(spark):
+    """Integration: cluster the real MinHash near-dup pairs; every pair's
+    endpoints land in one cluster, and non-canonical rows are exactly the
+    documents a keep-one pipeline would drop."""
+    import __spark_entry__ as E
+    from housenumbercore_spark.text import dedup as D
+    from housenumbercore_spark import pipelines as P
+
+    docs = P.text_token_stats(spark, SF).select("doc_id")
+    pairs = E.queries()["dedup_minhash_pairs"](spark, SF).select("doc_a", "doc_b")
+    clusters = D.dedup_clusters(docs, pairs)
+    cl = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    for a, b in pairs.collect():
+        assert cl[a] == cl[b]
+    n_docs = docs.count()
+    n_clusters = clusters.filter("is_canonical").count()
+    n_pairs = pairs.count()
+    assert n_docs - n_clusters <= n_pairs  # drops ≤ one doc per edge
+    assert clusters.count() == n_docs
