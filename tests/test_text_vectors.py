@@ -205,3 +205,45 @@ def test_dedup_clusters_on_minhash_pairs(spark):
     n_pairs = pairs.count()
     assert n_docs - n_clusters <= n_pairs  # drops ≤ one doc per edge
     assert clusters.count() == n_docs
+
+
+def test_prepare_corpus_composition(spark):
+    """prepare_corpus wires the oracled stages into the keep-one pipeline:
+    every surviving doc passes the quality/language gates, no two
+    survivors share an exact content key, and no near-dup pair at the
+    threshold has BOTH endpoints surviving; the report ledger is
+    stage-consistent."""
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import corpus as C
+    from housenumbercore_spark.text import dedup as D
+
+    docs = P.documents_df(spark, SF)
+    kept, report = C.prepare_corpus(
+        docs, min_quality=0.55, languages=["en", "de"], jaccard_threshold=0.5
+    )
+    k = kept.cache()
+    assert k.filter("quality < 0.55").count() == 0
+    assert k.filter("pred_lang not in ('en','de')").count() == 0
+
+    # exact-dedup invariant: one survivor per content key
+    ex = D.exact_dedup(k.select("doc_id", "text"))
+    assert ex.filter("doc_id <> canonical_doc_id").count() == 0
+
+    # near-dup keep-one invariant: no surviving pair at the threshold
+    pairs = D.minhash_dedup_pairs(k.select("doc_id", "text")).filter(
+        "jaccard >= 0.5"
+    )
+    assert pairs.count() == 0
+
+    rep = {r.stage: (r.n_in, r.n_out) for r in report.collect()}
+    assert list(rep) == [
+        "input", "quality_gate", "language_filter", "exact_dedup",
+        "neardup_keep_one",
+    ]
+    chain = ["input", "quality_gate", "language_filter", "exact_dedup",
+             "neardup_keep_one"]
+    for a, b in zip(chain, chain[1:]):
+        assert rep[a][1] == rep[b][0]
+    assert rep["neardup_keep_one"][1] == k.count()
+    assert 0 < k.count() < docs.count()
+    k.unpersist()
