@@ -172,6 +172,113 @@ def ann_recall(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_index(emb: DataFrame, n_centroids: int = IVF_CENTROIDS) -> DataFrame:
+    """IVF inverted lists: (vec_id, qv, n2, centroid_id) — every corpus
+    vector assigned to its max-cosine coarse centroid.
+
+    Centroids are the vectors of the first ``n_centroids`` ids —
+    deterministic and broadcast-sized (a production build would k-means
+    a sample; the index SHAPE — broadcast centroids × corpus map-side
+    scoring, then a map-side-combinable argmax per vector — is identical).
+    At 10¹² rows this is one map-only pass plus one narrow (vec_id,
+    centroid_id) aggregation; no vector payload shuffles."""
+    q = quantized(emb)
+    cents = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("cv"),
+        F.col("n2").alias("cn"),
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", _cos("qv", "cv", "n2", "cn").alias("__cs")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("__cs"), (-F.col("centroid_id")))
+        ).alias("centroid_id")
+    )
+    return q.join(assigned, "vec_id")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    nq: int = NQ,
+    k: int = TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    centroids and ranks exact cosine within those inverted lists only —
+    the scan fraction is ≈ nprobe/n_centroids of the corpus per query,
+    reached through an equi-join on centroid_id (broadcast of nq×nprobe
+    probe rows). With ``nprobe == n_centroids`` the result is EXACTLY
+    brute_force_topk (asserted in tests)."""
+    index = ivf_index(emb, n_centroids)
+    cents = index.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("cv"),
+        F.col("n2").alias("cn"),
+    )
+    q = quantized(emb).filter(F.col("vec_id") < nq)
+    probes = q.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+        "centroid_id",
+        _cos("qv", "cv", "n2", "cn").alias("__cs"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("__cs"), "centroid_id")
+    probed = (
+        probes.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qa", "na", "centroid_id")
+    )
+    cand = (
+        index.join(F.broadcast(probed), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos("qa", "qv", "na", "n2").alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+def ivf_recall(
+    emb: DataFrame,
+    nq: int = NQ,
+    k: int = TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Per-query recall@k of the IVF path vs brute-force ground truth."""
+    truth = brute_force_topk(emb, nq, k).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, nq, k, n_centroids, nprobe).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_matched"),
+        )
+        .select(
+            "query_id",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_truth"), 6).alias("recall_at_k"),
+        )
+    )
+
+
 NEARDUP_COS = 0.25  # driver testdata embeddings are near-random; 0.25 keeps
 # the tail pairs (max observed ~0.39) without an O(n²) blow-up
 

@@ -247,3 +247,61 @@ def test_prepare_corpus_composition(spark):
     assert rep["neardup_keep_one"][1] == k.count()
     assert 0 < k.count() < docs.count()
     k.unpersist()
+
+
+def test_ivf_topk_recall_and_full_probe_exactness(spark):
+    """IVF scale path: high recall at a 4/16 probe fraction, and EXACT
+    equality with brute force when every cell is probed (deterministic
+    data → deterministic recall)."""
+    from housenumbercore_spark.vectors import similarity as V
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rec = V.ivf_recall(emb).collect()
+    assert len(rec) == V.NQ
+    assert all(float(r.recall_at_k) >= 0.6 for r in rec)
+    assert sum(float(r.recall_at_k) for r in rec) / len(rec) >= 0.9
+
+    bf = {(r.query_id, r.neighbor_id, r.knn_rank)
+          for r in V.brute_force_topk(emb).collect()}
+    iv = {(r.query_id, r.neighbor_id, r.knn_rank)
+          for r in V.ivf_topk(emb, nprobe=V.IVF_CENTROIDS).collect()}
+    assert bf == iv and len(bf) == V.NQ * V.TOPK
+
+
+def test_ivf_index_partitions_corpus(spark):
+    """Every vector lands in exactly one inverted list; centroid ids are
+    the first IVF_CENTROIDS vec_ids; each centroid is its own nearest."""
+    from housenumbercore_spark.vectors import similarity as V
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = V.ivf_index(emb)
+    n = emb.count()
+    assert idx.count() == n
+    assert idx.select("vec_id").distinct().count() == n
+    cids = {r.centroid_id for r in idx.select("centroid_id").distinct().collect()}
+    assert cids <= set(range(V.IVF_CENTROIDS))
+    own = idx.filter(F.col("vec_id") < V.IVF_CENTROIDS)
+    assert own.filter(F.col("vec_id") != F.col("centroid_id")).count() == 0
+
+
+def test_dedup_clusters_generic_over_embedding_pairs(spark):
+    """dedup_clusters is payload-agnostic: clustering the embedding-cosine
+    near-dup pairs satisfies the same keep-one invariants."""
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import dedup as D
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = P.emb_neardup_pairs(spark, SF).select(
+        F.col("vec_a").cast("string").alias("doc_a"),
+        F.col("vec_b").cast("string").alias("doc_b"),
+    )
+    docs = emb.select(F.col("vec_id").cast("string").alias("doc_id"))
+    cl = D.dedup_clusters(docs, pairs)
+    m = {r.doc_id: r.cluster_id for r in cl.collect()}
+    for a, b in pairs.collect():
+        assert m[a] == m[b]
+    assert cl.count() == emb.count()
+    n_canon = cl.filter("is_canonical").count()
+    assert n_canon == cl.select("cluster_id").distinct().count()
