@@ -69,7 +69,7 @@ def prepare_corpus(
     )
 
     stages = [
-        ("input", docs, enriched),
+        ("input", docs, enriched),  # enriched == docs row-wise (inner joins on doc_id)
         ("quality_gate", enriched, s1),
         ("language_filter", s1, s2),
         ("exact_dedup", s2, s3),
@@ -84,3 +84,41 @@ def prepare_corpus(
         )
         report = r if report is None else report.unionByName(r)
     return kept, report
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    by: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic down-sampling to ≈ ``budget_tokens`` total tokens —
+    the data-mixing step of a pretraining pipeline. With ``by`` set (e.g.
+    a language or source column), the budget is split EQUALLY across the
+    groups present, capped at each group's own size.
+
+    Mechanism: per-group token totals (one narrow aggregate) give a keep
+    fraction; each document is kept iff a 60-bit hash of its id falls
+    under fraction × 2⁶⁰ — no ordering, no sampling RNG, no shuffle of
+    document payloads, and the SAME documents are kept on every run and
+    every partitioning. Expected kept tokens per group =
+    fraction × group_tokens; deviation is one document's tokens in the
+    worst case per hash-boundary, negligible at corpus scale."""
+    from .analysis import token_stats
+    from .hashing import h60_spark
+
+    toks = token_stats(docs).select(id_col, "n_tokens")
+    d = docs.join(toks, id_col)
+    grp = F.col(by) if by else F.lit("__all__")
+    d = d.withColumn("__grp", grp)
+    totals = d.groupBy("__grp").agg(F.sum("n_tokens").alias("__grp_tokens"))
+    n_groups = totals.count()
+    per_group = budget_tokens / max(n_groups, 1)
+    frac = F.least(F.lit(1.0), F.lit(per_group) / F.col("__grp_tokens"))
+    keyed = d.join(F.broadcast(totals), "__grp").withColumn(
+        "__h", F.expr(h60_spark(f"cast({id_col} as string)"))
+    )
+    kept = keyed.filter(
+        F.col("__h").cast("double") < frac * float(1 << 60)
+    )
+    return kept.drop("__grp", "__grp_tokens", "__h")

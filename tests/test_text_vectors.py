@@ -305,3 +305,47 @@ def test_dedup_clusters_generic_over_embedding_pairs(spark):
     assert cl.count() == emb.count()
     n_canon = cl.filter("is_canonical").count()
     assert n_canon == cl.select("cluster_id").distinct().count()
+
+
+def test_sample_to_token_budget(spark):
+    """Deterministic token-budget sampling: close to budget, identical
+    kept set across runs AND partitionings, equal split across groups
+    with small groups kept whole."""
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import corpus as C
+    from housenumbercore_spark.text.analysis import token_stats
+    from pyspark.sql import functions as F
+
+    docs = P.documents_df(spark, SF)
+    total = token_stats(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(total * 0.3)
+
+    kept = C.sample_to_token_budget(docs, budget)
+    kt = kept.agg(F.sum("n_tokens")).collect()[0][0]
+    assert 0 < kt < total
+    assert abs(kt - budget) / budget < 0.3  # fixed data -> stable draw
+
+    ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in C.sample_to_token_budget(docs.repartition(7), budget)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2  # no RNG, no order dependence
+
+    # grouped: equal split, small groups capped at their own size
+    g = C.sample_to_token_budget(docs, budget, by="lang")
+    per = g.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    totals = {
+        r.lang: r.t
+        for r in docs.join(token_stats(docs), "doc_id")
+        .groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    n_groups = len(totals)
+    for r in per:
+        share = budget / n_groups
+        if totals[r.lang] <= share:
+            assert r.t == totals[r.lang]  # kept whole
+        else:
+            assert r.t <= totals[r.lang]
