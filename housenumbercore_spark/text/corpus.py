@@ -122,3 +122,59 @@ def sample_to_token_budget(
         F.col("__h").cast("double") < frac * float(1 << 60)
     )
     return kept.drop("__grp", "__grp_tokens", "__h")
+
+
+CONTAM_SHINGLE = 8
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = CONTAM_SHINGLE,
+    min_common: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share word
+    ``k``-grams with an evaluation set → (doc_id, bench_id,
+    n_common_shingles, doc_overlap_ratio).
+
+    The standard pretraining hygiene step (decontaminate the corpus
+    against eval benchmarks before training). Shape: both sides reduce to
+    distinct shingle HASHES; the benchmark side (eval sets are small)
+    broadcasts, so the scan is one map-side equi-join over the corpus'
+    exploded int64 hashes — no corpus-side shuffle, no text movement.
+    ``doc_overlap_ratio`` = shared distinct shingles / the DOCUMENT's
+    distinct shingles (1.0 ⇒ the doc is fully contained in the benchmark
+    at this shingle size). Exact-match semantics on normalized tokens;
+    k=8 matches common published decontamination practice."""
+    from . import dedup as TD
+
+    d = TD.with_shingle_hashes(docs, k).select(
+        "doc_id", F.size("sh31").alias("__n_doc"), F.explode("sh31").alias("h")
+    )
+    b = (
+        TD.with_shingle_hashes(
+            benchmark.withColumnRenamed("bench_id", "doc_id")
+            if "bench_id" in benchmark.columns
+            else benchmark,
+            k,
+        )
+        .select(F.col("doc_id").alias("bench_id"), F.explode("sh31").alias("h"))
+        .dropDuplicates()
+    )
+    hits = (
+        d.join(F.broadcast(b), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_shingles"),
+            F.first("__n_doc").alias("__n_doc"),
+        )
+        .filter(F.col("n_common_shingles") >= min_common)
+    )
+    return hits.select(
+        "doc_id",
+        "bench_id",
+        "n_common_shingles",
+        F.round(F.col("n_common_shingles") / F.col("__n_doc"), 6).alias(
+            "doc_overlap_ratio"
+        ),
+    )

@@ -349,3 +349,32 @@ def test_sample_to_token_budget(spark):
             assert r.t == totals[r.lang]  # kept whole
         else:
             assert r.t <= totals[r.lang]
+
+
+def test_contamination_check(spark):
+    """8-gram benchmark-contamination scan: exact copies flag with ratio
+    1.0, a 9-word verbatim span yields exactly two common 8-grams, a
+    7-word overlap stays below the shingle size and is NOT flagged."""
+    from housenumbercore_spark.text import corpus as C
+
+    bench_words = [f"w{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            ("full_copy", " ".join(bench_words)),
+            ("span9", "x1 x2 " + " ".join(bench_words[4:13]) + " y1 y2"),
+            ("span7", "x1 " + " ".join(bench_words[4:11]) + " y1"),
+            ("clean", "a b c d e f g h i j k l m n"),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b0", " ".join(bench_words))], "bench_id string, text string"
+    )
+    got = {
+        (r.doc_id, r.bench_id): (r.n_common_shingles, float(r.doc_overlap_ratio))
+        for r in C.contamination_check(docs, bench).collect()
+    }
+    assert got[("full_copy", "b0")] == (13, 1.0)  # 20 words -> 13 8-grams
+    assert got[("span9", "b0")][0] == 2           # 9-word span -> 2 8-grams
+    assert ("span7", "b0") not in got             # below shingle size
+    assert ("clean", "b0") not in got
