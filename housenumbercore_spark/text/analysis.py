@@ -62,9 +62,14 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Composite document-quality score in [0,1]: length, stopword ratio,
-    mean word length — rational arithmetic only, identical in the oracle."""
+    mean word length — rational arithmetic only, identical in the oracle.
+
+    ``keep_cols`` passes input columns through the projection, so a
+    pipeline (text/corpus.py) attaches the score WITHOUT a self-join —
+    joining a projection of docs back to docs would shuffle the full text
+    twice at corpus scale for what is a narrow map."""
     d = docs.withColumn("toks", tokens_col())
     n_tokens = F.size("toks")
     n_stop = _count_in(QUALITY_STOPWORDS)
@@ -86,13 +91,15 @@ def quality_score(docs: DataFrame) -> DataFrame:
         (F.expr("(1000000 * __s) DIV __n") / 1e6).alias("stopword_ratio"),
         (F.expr("(1000000 * __sl) DIV __n") / 1e6).alias("mean_token_len"),
         (quality_u / 1e6).alias("quality"),
+        *keep_cols,
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Stopword-profile language ID: argmax of per-language marker hits,
     ties broken by profile rank (array_max over (score, -rank) structs —
-    a narrow projection, no shuffle)."""
+    a narrow projection, no shuffle). ``keep_cols`` as in
+    :func:`quality_score`."""
     d = docs.withColumn("toks", tokens_col())
     scored = F.array(
         *[
@@ -110,6 +117,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         F.element_at(langs, -F.col("best.nr") + 1).alias("pred_lang"),
         F.col("best.score").alias("lang_score"),
         F.col("lang").alias("label_lang"),
+        *keep_cols,
     )
 
 

@@ -44,9 +44,13 @@ def prepare_corpus(
     from . import analysis as TA
     from . import dedup as TD
 
-    q = TA.quality_score(docs).select("doc_id", "quality")
-    l = TA.lang_id(docs).select("doc_id", "pred_lang")
-    enriched = docs.join(q, "doc_id").join(l, "doc_id")
+    # one narrow pass attaches both scores (keep_cols pass-through) —
+    # joining projections of docs back to docs would shuffle the full
+    # text twice for what is a map-only computation
+    q = TA.quality_score(docs, keep_cols=("text", "lang"))
+    enriched = TA.lang_id(q, keep_cols=("text", "quality")).select(
+        "doc_id", "text", "quality", "pred_lang"
+    )
 
     s1 = enriched.filter(F.col("quality") >= min_quality)
     s2 = s1.filter(F.col("pred_lang").isin(languages)) if languages else s1
@@ -104,11 +108,12 @@ def sample_to_token_budget(
     every partitioning. Expected kept tokens per group =
     fraction × group_tokens; deviation is one document's tokens in the
     worst case per hash-boundary, negligible at corpus scale."""
-    from .analysis import token_stats
+    from .analysis import tokens_col
     from .hashing import h60_spark
 
-    toks = token_stats(docs).select(id_col, "n_tokens")
-    d = docs.join(toks, id_col)
+    # token counts as an inline column — a token_stats join here would
+    # self-join the corpus on doc_id and shuffle the full text
+    d = docs.withColumn("n_tokens", F.size(tokens_col()))
     grp = F.col(by) if by else F.lit("__all__")
     d = d.withColumn("__grp", grp)
     totals = d.groupBy("__grp").agg(F.sum("n_tokens").alias("__grp_tokens"))
