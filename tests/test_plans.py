@@ -92,3 +92,34 @@ def test_knn_no_cartesian_no_python_rows(spark):
 def test_dedup_minhash_plan_shape(spark):
     a = audit_plan(_q("dedup_minhash_pairs")(spark, SF))
     assert not a["has_batch_eval_python"]
+
+
+def test_corpus_enrichment_is_map_only(spark):
+    """prepare_corpus' score-attachment stage must stay a single narrow
+    projection: zero exchanges, zero joins (a regression to the join-back
+    pattern would shuffle the full corpus text twice)."""
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import analysis as TA
+
+    docs = P.documents_df(spark, SF)
+    q = TA.quality_score(docs, keep_cols=("text", "lang"))
+    enr = TA.lang_id(q, keep_cols=("text", "quality")).select(
+        "doc_id", "text", "quality", "pred_lang"
+    )
+    plan = enr._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_token_budget_sampling_shuffles_no_text(spark):
+    """sample_to_token_budget: the only exchanges carry the narrow
+    per-group totals (group agg), and the totals join is a broadcast —
+    document text never shuffles."""
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import corpus as C
+
+    samp = C.sample_to_token_budget(P.documents_df(spark, SF), 10_000, by="lang")
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange") <= 2, plan
