@@ -183,3 +183,88 @@ def contamination_check(
             "doc_overlap_ratio"
         ),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing for training batches: → (doc_id, n_tokens,
+    pack_id, pack_slot). Every pack's token sum is ≤ ``max_tokens``
+    (documents longer than that are truncated-to-budget singleton packs,
+    flagged by pack_slot = -1 for the caller to split or drop).
+
+    Shape: documents hash into ``n_buckets`` independent buckets
+    (narrow (bucket, id, n_tokens) shuffle — text itself never moves);
+    each bucket packs its docs with first-fit-decreasing inside one
+    ``applyInPandas`` batch. Packing is per-bucket greedy — the global
+    optimum is bin packing (NP-hard) and per-shard FFD is the standard
+    practice; determinism comes from the hash bucketing + in-bucket sort,
+    not from partition layout. pack_id embeds the bucket, so ids are
+    globally unique without coordination."""
+    import pandas as pd
+
+    from .analysis import tokens_col
+    from .hashing import h60_spark
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col()).alias("n_tokens"),
+        (
+            F.expr(h60_spark("cast(" + id_col + " as string)"))
+            % F.lit(n_buckets)
+        ).alias("__bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["__bucket"].iat[0]) if len(pdf) else 0
+        packs: list[int] = []  # remaining capacity per open pack
+        out_pack, out_slot = [], []
+        slots: list[int] = []  # next slot per pack
+        for _, row in pdf.iterrows():
+            n = int(row["n_tokens"])
+            if n > max_tokens:  # oversize: its own pack, flagged
+                packs.append(0)
+                slots.append(0)
+                out_pack.append(len(packs) - 1)
+                out_slot.append(-1)
+                continue
+            for i, cap in enumerate(packs):  # first fit (decreasing order)
+                if cap >= n:
+                    packs[i] = cap - n
+                    out_pack.append(i)
+                    out_slot.append(slots[i])
+                    slots[i] += 1
+                    break
+            else:
+                packs.append(max_tokens - n)
+                slots.append(1)
+                out_pack.append(len(packs) - 1)
+                out_slot.append(0)
+        pdf = pdf.drop(columns="__bucket")
+        pdf["pack_id"] = [bucket * 10_000_000 + p for p in out_pack]
+        pdf["pack_slot"] = out_slot
+        return pdf
+
+    return d.groupBy("__bucket").applyInPandas(
+        pack, "doc_id " + dict(docs.dtypes)[id_col] + ", n_tokens int, "
+        "pack_id long, pack_slot int"
+    )
+
+
+def training_order(docs: DataFrame, seed: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible pseudo-random total
+    order over documents (order_key = 60-bit hash of seed‖doc_id).
+    Changing ``seed`` reshuffles; the same seed gives the same order on
+    any cluster and any partitioning — no RNG state to coordinate."""
+    from .hashing import h60_spark
+
+    return docs.withColumn(
+        "order_key",
+        F.expr(h60_spark(f"concat('{seed}#', cast({id_col} as string))")),
+    )

@@ -378,3 +378,51 @@ def test_contamination_check(spark):
     assert got[("span9", "b0")][0] == 2           # 9-word span -> 2 8-grams
     assert ("span7", "b0") not in got             # below shingle size
     assert ("clean", "b0") not in got
+
+
+def test_pack_sequences(spark):
+    """Sequence packing: every doc packed exactly once, every pack within
+    budget, oversize docs isolated + flagged, deterministic across
+    partitionings."""
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import corpus as C
+    from pyspark.sql import functions as F
+
+    docs = P.documents_df(spark, SF)
+    MAX = 120
+    packed = C.pack_sequences(docs, MAX, n_buckets=8)
+    n = docs.count()
+    assert packed.count() == n
+    assert packed.select("doc_id").distinct().count() == n
+
+    sums = (
+        packed.filter("pack_slot >= 0")
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("m"))
+    )
+    assert sums.filter(F.col("t") > MAX).count() == 0
+    assert sums.filter("m > 1").count() > 0, "packing never combined docs"
+
+    over = packed.filter("pack_slot = -1")
+    assert over.filter(F.col("n_tokens") <= MAX).count() == 0
+    over_packs = {r.pack_id for r in over.select("pack_id").collect()}
+    in_over = packed.filter(packed.pack_id.isin(list(over_packs)) if over_packs else "false")
+    assert in_over.count() == over.count(), "oversize doc shares a pack"
+
+    again = C.pack_sequences(docs.repartition(13), MAX, n_buckets=8)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b, "packing depends on physical partitioning"
+
+
+def test_training_order_deterministic_shuffle(spark):
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import corpus as C
+
+    docs = P.documents_df(spark, SF).select("doc_id")
+    o1 = [r.doc_id for r in C.training_order(docs, seed=1).orderBy("order_key", "doc_id").collect()]
+    o1b = [r.doc_id for r in C.training_order(docs.repartition(9), seed=1).orderBy("order_key", "doc_id").collect()]
+    o2 = [r.doc_id for r in C.training_order(docs, seed=2).orderBy("order_key", "doc_id").collect()]
+    assert o1 == o1b
+    assert o1 != o2
+    assert sorted(o1) == sorted(o2)
