@@ -28,9 +28,9 @@ def prepare_corpus(
 
     ``kept_docs``: the input rows that survive all four gates, with
     ``quality`` and ``pred_lang`` columns attached. ``report``: one row
-    per stage — (stage, n_in, n_out) — for pipeline observability (its
-    evaluation triggers the stage counts; keep it lazy if you only need
-    the kept rows).
+    per stage — (stage, n_in, n_out) — for pipeline observability,
+    computed EAGERLY with one count per stage boundary (adjacent stages
+    share a boundary, so counting per-row-pair would double the work).
 
     Stages:
 
@@ -72,21 +72,15 @@ def prepare_corpus(
         clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
     )
 
-    stages = [
-        ("input", docs, enriched),  # enriched == docs row-wise (inner joins on doc_id)
-        ("quality_gate", enriched, s1),
-        ("language_filter", s1, s2),
-        ("exact_dedup", s2, s3),
-        ("neardup_keep_one", s3, kept),
-    ]
-    report = None
-    for name, a, b in stages:
-        r = (
-            a.agg(F.count(F.lit(1)).alias("n_in"))
-            .crossJoin(b.agg(F.count(F.lit(1)).alias("n_out")))
-            .select(F.lit(name).alias("stage"), "n_in", "n_out")
-        )
-        report = r if report is None else report.unionByName(r)
+    names = ["input", "quality_gate", "language_filter", "exact_dedup",
+             "neardup_keep_one"]
+    # enriched == docs row-wise (narrow projection), so 6 boundary counts
+    # cover all 5 stages; each DataFrame is counted exactly once
+    counts = [df.count() for df in (docs, enriched, s1, s2, s3, kept)]
+    report = docs.sparkSession.createDataFrame(
+        [(n, counts[i], counts[i + 1]) for i, n in enumerate(names)],
+        "stage string, n_in long, n_out long",
+    )
     return kept, report
 
 
@@ -112,9 +106,20 @@ def sample_to_token_budget(
     from .hashing import h60_spark
 
     # token counts as an inline column — a token_stats join here would
-    # self-join the corpus on doc_id and shuffle the full text
-    d = docs.withColumn("n_tokens", F.size(tokens_col()))
-    grp = F.col(by) if by else F.lit("__all__")
+    # self-join the corpus on doc_id and shuffle the full text. NULL text
+    # counts 0 tokens (F.size of a null array is -1, which would corrupt
+    # the group totals).
+    d = docs.withColumn(
+        "n_tokens", F.greatest(F.lit(0), F.size(tokens_col()))
+    )
+    # NULL group values coalesce to a sentinel: a plain equi-join on the
+    # group key would silently drop every NULL-group document while its
+    # reserved budget share went unspent
+    grp = (
+        F.coalesce(F.col(by).cast("string"), F.lit("__null__"))
+        if by
+        else F.lit("__all__")
+    )
     d = d.withColumn("__grp", grp)
     totals = d.groupBy("__grp").agg(F.sum("n_tokens").alias("__grp_tokens"))
     n_groups = totals.count()
@@ -202,8 +207,9 @@ def pack_sequences(
     ``applyInPandas`` batch. Packing is per-bucket greedy — the global
     optimum is bin packing (NP-hard) and per-shard FFD is the standard
     practice; determinism comes from the hash bucketing + in-bucket sort,
-    not from partition layout. pack_id embeds the bucket, so ids are
-    globally unique without coordination."""
+    not from partition layout. pack_id embeds the bucket in the high bits
+    (bucket << 40), so ids are globally unique without coordination up to
+    2⁴⁰ packs per bucket. NULL text packs as 0 tokens."""
     import pandas as pd
 
     from .analysis import tokens_col
@@ -211,7 +217,7 @@ def pack_sequences(
 
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens_col()).alias("n_tokens"),
+        F.greatest(F.lit(0), F.size(tokens_col())).alias("n_tokens"),
         (
             F.expr(h60_spark("cast(" + id_col + " as string)"))
             % F.lit(n_buckets)
@@ -247,7 +253,7 @@ def pack_sequences(
                 out_pack.append(len(packs) - 1)
                 out_slot.append(0)
         pdf = pdf.drop(columns="__bucket")
-        pdf["pack_id"] = [bucket * 10_000_000 + p for p in out_pack]
+        pdf["pack_id"] = [(bucket << 40) + p for p in out_pack]
         pdf["pack_slot"] = out_slot
         return pdf
 

@@ -350,17 +350,30 @@ def dedup_clusters(
     small and dense (diameter rarely > a few hops even at corpus scale),
     which is why plain propagation is the right tool here rather than the
     large/small-star contraction needed for web-graph-diameter inputs.
-    Rounds localCheckpoint like kNN's multires loop: lineage stays flat,
-    nothing pinned beyond the round. Isolated documents form singleton
-    clusters (canonical by construction).
-    """
+    Both the edge set and each round's labels localCheckpoint like kNN's
+    multires loop: the (possibly expensive) pair-generation lineage runs
+    ONCE, labels' lineage stays flat, nothing pinned beyond the round.
+    Isolated documents form singleton clusters (canonical by
+    construction). Pairs whose endpoints are not in ``docs`` are ignored
+    (otherwise a phantom id could win a cluster's canonical election and
+    a keep-one pipeline would drop every real member). Raises if the
+    propagation has not converged after ``max_iter`` rounds — a silent
+    partial result would split components."""
+    ids = docs.select(F.col(id_col).alias("id"))
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates()
-    labels = docs.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    edges = (
+        edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
     )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)  # pair generation runs once, not per round
+    )
+    labels = ids.withColumn("label", F.col("id"))
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -380,7 +393,14 @@ def dedup_clusters(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation not converged after "
+            f"{max_iter} rounds (component diameter exceeds max_iter; "
+            f"raise max_iter)"
+        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),

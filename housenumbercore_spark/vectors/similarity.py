@@ -151,14 +151,13 @@ def ann_topk(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
     )
 
 
-def ann_recall(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
-    """Per-query recall@k of the ANN path vs the brute-force ground truth."""
-    truth = brute_force_topk(emb, nq, k).select("query_id", "neighbor_id")
-    approx = ann_topk(emb, nq, k).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+def _recall_report(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of ``approx`` (query_id, neighbor_id) against the
+    ``truth`` top-k — shared by the LSH and IVF paths."""
+    hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
-        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        truth.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_truth"),
@@ -172,6 +171,11 @@ def ann_recall(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
     )
 
 
+def ann_recall(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
+    """Per-query recall@k of the ANN path vs the brute-force ground truth."""
+    return _recall_report(brute_force_topk(emb, nq, k), ann_topk(emb, nq, k))
+
+
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
@@ -181,26 +185,33 @@ def ivf_index(emb: DataFrame, n_centroids: int = IVF_CENTROIDS) -> DataFrame:
     vector assigned to its max-cosine coarse centroid.
 
     Centroids are the vectors of the first ``n_centroids`` ids —
-    deterministic and broadcast-sized (a production build would k-means
-    a sample; the index SHAPE — broadcast centroids × corpus map-side
-    scoring, then a map-side-combinable argmax per vector — is identical).
-    At 10¹² rows this is one map-only pass plus one narrow (vec_id,
-    centroid_id) aggregation; no vector payload shuffles."""
+    deterministic and dimension-scale (a production build would k-means a
+    sample; the index SHAPE is identical). The centroid vectors inline as
+    literal arrays in one argmax expression (exactly how ann_buckets
+    inlines its hyperplanes), so assignment is a PURE MAP — zero
+    exchanges, no vector payload ever shuffles (plan-asserted in
+    tests/test_plans.py). Ties break to the lowest centroid id; cosine is
+    rounded to 6 dp like :func:`_cos`, keeping results bit-identical
+    across engines and partitionings."""
     q = quantized(emb)
-    cents = q.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qv").alias("cv"),
-        F.col("n2").alias("cn"),
+    cents = (
+        q.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "qv", "n2")
+        .collect()  # dimension-scale: n_centroids rows, like ann planes
     )
-    scored = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "centroid_id", _cos("qv", "cv", "n2", "cn").alias("__cs")
+    structs = []
+    for c in sorted(cents, key=lambda r: r.vec_id):
+        arr = f"array({', '.join(str(int(x)) for x in c.qv)})"
+        dot = f"aggregate(zip_with(qv, {arr}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+        cos = (
+            f"round(cast({dot} as double) / "
+            f"(sqrt(cast(n2 as double)) * sqrt({float(c.n2)!r}d)), 6)"
+        )
+        structs.append(f"struct({cos} as s, {-int(c.vec_id)}L as nr)")
+    best = f"array_max(array({', '.join(structs)}))"
+    return q.withColumn(
+        "centroid_id", F.expr(f"cast(-({best}.nr) as bigint)")
     )
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("__cs"), (-F.col("centroid_id")))
-        ).alias("centroid_id")
-    )
-    return q.join(assigned, "vec_id")
 
 
 def ivf_topk(
@@ -260,22 +271,8 @@ def ivf_recall(
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """Per-query recall@k of the IVF path vs brute-force ground truth."""
-    truth = brute_force_topk(emb, nq, k).select("query_id", "neighbor_id")
-    approx = ivf_topk(emb, nq, k, n_centroids, nprobe).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    return (
-        truth.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_truth"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_matched"),
-        )
-        .select(
-            "query_id",
-            "n_matched",
-            F.round(F.col("n_matched") / F.col("n_truth"), 6).alias("recall_at_k"),
-        )
+    return _recall_report(
+        brute_force_topk(emb, nq, k), ivf_topk(emb, nq, k, n_centroids, nprobe)
     )
 
 

@@ -123,3 +123,16 @@ def test_token_budget_sampling_shuffles_no_text(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_ivf_index_is_map_only(spark):
+    """IVF centroid assignment must be a pure map (inlined centroid
+    literals, like ann_buckets' planes): zero exchanges, zero joins — a
+    regression to the groupBy-argmax+join shape would shuffle every
+    quantized vector payload at corpus scale."""
+    from housenumbercore_spark.vectors import similarity as V
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = V.ivf_index(emb)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan

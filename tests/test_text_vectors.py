@@ -426,3 +426,52 @@ def test_training_order_deterministic_shuffle(spark):
     assert o1 == o1b
     assert o1 != o2
     assert sorted(o1) == sorted(o2)
+
+
+def test_dedup_clusters_nonconvergence_raises_and_phantoms_ignored(spark):
+    from housenumbercore_spark.text import dedup as D
+
+    ids = [f"c{i}" for i in range(6)]
+    chain = [(f"c{i}", f"c{i+1}") for i in range(5)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="not converged"):
+        D.dedup_clusters(docs, pairs, max_iter=1)
+
+    # pair endpoints outside docs (e.g. docs is a post-filter subset) are
+    # ignored — a phantom id must never win a canonical election
+    docs_sub = spark.createDataFrame([("c3",), ("c4",), ("c5",)], "doc_id string")
+    cl = {r.doc_id: (r.cluster_id, r.is_canonical)
+          for r in D.dedup_clusters(docs_sub, pairs).collect()}
+    assert set(cl) == {"c3", "c4", "c5"}
+    assert cl["c3"] == ("c3", True)
+    assert cl["c4"] == ("c3", False) and cl["c5"] == ("c3", False)
+
+
+def test_sample_to_token_budget_null_group_kept(spark):
+    """Docs whose `by` column is NULL form their own group instead of
+    silently vanishing through a NULL equi-join (the bug class fixed in
+    the merge sink this round)."""
+    from housenumbercore_spark.text import corpus as C
+    from pyspark.sql import functions as F
+
+    rows = [(f"d{i}", "alpha beta gamma delta " * 10, None if i % 3 == 0 else "en")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    kept = C.sample_to_token_budget(docs, 10_000_000, by="lang")  # huge budget
+    assert kept.count() == 30, "NULL-lang docs dropped"
+    assert kept.filter(F.col("lang").isNull()).count() == 10
+
+
+def test_pack_sequences_null_text_is_zero_tokens(spark):
+    from housenumbercore_spark.text import corpus as C
+
+    docs = spark.createDataFrame(
+        [("a", None), ("b", "one two three"), ("c", "x " * 500)],
+        "doc_id string, text string",
+    )
+    packed = {r.doc_id: (r.n_tokens, r.pack_slot)
+              for r in C.pack_sequences(docs, 100, n_buckets=2).collect()}
+    assert packed["a"][0] == 0 and packed["a"][1] >= 0
+    assert packed["c"][1] == -1  # oversize still isolated
