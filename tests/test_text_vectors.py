@@ -475,3 +475,41 @@ def test_pack_sequences_null_text_is_zero_tokens(spark):
               for r in C.pack_sequences(docs, 100, n_buckets=2).collect()}
     assert packed["a"][0] == 0 and packed["a"][1] >= 0
     assert packed["c"][1] == -1  # oversize still isolated
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_dedup_clusters_random_graphs_vs_duckdb(spark, seed):
+    """Property check: random sparse graphs (including multi-edges and
+    self-loops) cluster identically to DuckDB's recursive reachability."""
+    import numpy as np
+
+    from housenumbercore_spark.text import dedup as D
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    ids = [f"r{i:03d}" for i in range(n)]
+    m = 100
+    ea = rng.integers(0, n, m)
+    eb = rng.integers(0, n, m)
+    edges = [(ids[a], ids[b]) for a, b in zip(ea, eb)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {r.doc_id: r.cluster_id for r in D.dedup_clusters(docs, pairs).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (id varchar)")
+    con.executemany("INSERT INTO docs VALUES (?)", [(i,) for i in ids])
+    con.execute("CREATE TABLE e (src varchar, dst varchar)")
+    con.executemany(
+        "INSERT INTO e VALUES (?, ?)",
+        edges + [(b, a) for a, b in edges],
+    )
+    want = dict(con.execute("""
+        WITH RECURSIVE reach(id, r) AS (
+            SELECT id, id FROM docs
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+        )
+        SELECT id, MIN(r) FROM reach GROUP BY id
+    """).fetchall())
+    assert got == want
