@@ -210,6 +210,93 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.neardup_pairs(embeddings_df(spark, sf_dir))
 
 
+# driver-query parameters for the training-corpus operators — single
+# source of truth shared with the DuckDB oracles (__spark_entry__.py
+# passes these into text/oracles.py and vectors/oracles.py)
+CORPUS_MIN_QUALITY = 0.55
+CORPUS_LANGS = ("en", "de")
+CORPUS_JACCARD = 0.5
+SAMPLE_BUDGET_TOKENS = 30_000  # ≈ total/0.9 split 5 ways: small language
+# groups keep everything (frac capped at 1), large ones subsample — both
+# branches of the keep rule exercised on the driver corpus
+CONTAM_BENCH_MOD = 97  # benchmark = documents with doc_id % 97 == 0
+PACK_MAX_TOKENS = 80  # corpus docs span 10-99 tokens, so the driver row
+# exercises both the FFD packing and the oversize pack_slot=-1 branch
+PACK_BUCKETS = 8
+ORDER_SEED = 1
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components over the MinHash pair graph (keep-one step)."""
+    from .text import dedup as TD
+
+    docs = documents_df(spark, sf_dir)
+    pairs = TD.minhash_dedup_pairs(docs)
+    return TD.dedup_clusters(
+        docs.select("doc_id"), pairs.select("doc_a", "doc_b")
+    )
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage ledger of the full prepare_corpus composition (quality →
+    language → exact dedup → near-dup keep-one)."""
+    from .text import corpus as TC
+
+    _kept, report = TC.prepare_corpus(
+        documents_df(spark, sf_dir),
+        min_quality=CORPUS_MIN_QUALITY,
+        languages=list(CORPUS_LANGS),
+        jaccard_threshold=CORPUS_JACCARD,
+    )
+    return report
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import corpus as TC
+
+    return TC.sample_to_token_budget(
+        documents_df(spark, sf_dir), SAMPLE_BUDGET_TOKENS, by="lang"
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram decontamination scan against a benchmark slice of the corpus
+    (deterministic: every doc_id ≡ 0 mod CONTAM_BENCH_MOD)."""
+    from .text import corpus as TC
+
+    docs = documents_df(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return TC.contamination_check(docs, bench)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import corpus as TC
+
+    return TC.pack_sequences(
+        documents_df(spark, sf_dir), PACK_MAX_TOKENS, n_buckets=PACK_BUCKETS
+    )
+
+
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import corpus as TC
+
+    return TC.training_order(documents_df(spark, sf_dir), seed=ORDER_SEED)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import similarity as VS
+
+    return VS.ivf_topk(embeddings_df(spark, sf_dir))
+
+
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import similarity as VS
+
+    return VS.ivf_recall(embeddings_df(spark, sf_dir))
+
+
 def hnr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/F4/O2: multi-value split + range expansion + sortable key over
     raw official housenumber texts."""

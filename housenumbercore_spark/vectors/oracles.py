@@ -9,6 +9,8 @@ from __future__ import annotations
 from .similarity import (
     ANN_PLANES,
     ANN_TABLES,
+    IVF_CENTROIDS,
+    IVF_NPROBE,
     NEARDUP_COS,
     NQ,
     QUANT,
@@ -118,6 +120,80 @@ approx AS (
     SELECT *, CAST(ROW_NUMBER() OVER (
       PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rk
     FROM scored) t
+  WHERE rk <= {k})
+SELECT t.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_matched,
+  CAST(round(COUNT(a.neighbor_id) / COUNT(*), 6) AS DOUBLE) AS recall_at_k
+FROM truth t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id"""
+
+
+def _ivf_ctes(n_centroids: int, nq: int, nprobe: int) -> str:
+    """Mirror of similarity.py ivf_index/ivf_topk: centroids = vectors with
+    vec_id < n_centroids; every corpus vector assigned to its max-cosine
+    centroid (ties → lowest centroid id); each query probes its nprobe
+    nearest centroids and scores exact cosine within those lists."""
+    return f"""
+cents AS (SELECT vec_id AS centroid_id, qv, n2 FROM n
+          WHERE vec_id < {n_centroids}),
+asg AS (
+  SELECT vec_id, qv, n2, centroid_id FROM (
+    SELECT a.vec_id, a.qv, a.n2, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        ORDER BY {_cos('a', 'c')} DESC, c.centroid_id) AS rk
+    FROM n a CROSS JOIN cents c) t
+  WHERE rk = 1),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT a.vec_id AS query_id, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        ORDER BY {_cos('a', 'c')} DESC, c.centroid_id) AS rk
+    FROM n a CROSS JOIN cents c WHERE a.vec_id < {nq}) t
+  WHERE rk <= {nprobe}),
+iscored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id, {_cos('a', 'b')} AS cos_sim
+  FROM probes p
+  JOIN asg b ON b.centroid_id = p.centroid_id AND b.vec_id <> p.query_id
+  JOIN n a ON a.vec_id = p.query_id)"""
+
+
+def ivf_topk_sql(
+    nq: int = NQ,
+    k: int = TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    return f"""
+WITH {_n_cte()},
+{_ivf_ctes(n_centroids, nq, nprobe)}
+SELECT query_id, neighbor_id, cos_sim, knn_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS knn_rank
+  FROM iscored) t
+WHERE knn_rank <= {k}"""
+
+
+def ivf_recall_sql(
+    nq: int = NQ,
+    k: int = TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    return f"""
+WITH {_n_cte()},
+{_ivf_ctes(n_centroids, nq, nprobe)},
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        ORDER BY {_cos('a', 'b')} DESC, b.vec_id) AS INT) AS rk
+    FROM n a JOIN n b ON a.vec_id < {nq} AND b.vec_id <> a.vec_id) t
+  WHERE rk <= {k}),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rk
+    FROM iscored) t
   WHERE rk <= {k})
 SELECT t.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_matched,
   CAST(round(COUNT(a.neighbor_id) / COUNT(*), 6) AS DOUBLE) AS recall_at_k

@@ -30,6 +30,14 @@ QUERIES = [
     "sim_ann_topk",
     "sim_ann_recall",
     "emb_neardup_pairs",
+    "dedup_clusters",
+    "corpus_report",
+    "token_budget_sample",
+    "contamination_check",
+    "pack_sequences",
+    "training_order",
+    "ivf_topk",
+    "ivf_recall",
 ]
 
 
