@@ -120,12 +120,30 @@ def elements_df(spark: SparkSession, payload: bytes, fmt: str = "json") -> DataF
     return spark.createDataFrame(pdf, ELEMENT_SCHEMA)
 
 
-def http_get(url: str, timeout_s: int = 300, data: str | None = None) -> bytes:
+MAX_TRIES = 3  # the reference's MAXOVERPASSTRIES (MunicipalityJobs.java:390)
+
+
+def http_get(
+    url: str,
+    timeout_s: int = 300,
+    data: str | None = None,
+    max_tries: int = MAX_TRIES,
+    _urlopen=None,
+    _sleep=None,
+) -> bytes:
     """Thin transport (S7 list download + Overpass POST): gzip-aware
-    urllib fetch. Network access is environment-dependent — callers should
-    land the payload to storage immediately and resume from there."""
+    urllib fetch with bounded retries — the reference retries a failed
+    Overpass request up to MAXOVERPASSTRIES times, sleeping 2×n seconds
+    before attempt n+1 (MunicipalityJobs.java:430-480); same linear
+    backoff here. Network access is environment-dependent — callers
+    should land the payload to storage immediately and resume from there.
+    ``_urlopen``/``_sleep`` are test seams (offline fake transport)."""
     import gzip
+    import time
     import urllib.request
+
+    urlopen = _urlopen or urllib.request.urlopen
+    sleep = _sleep or time.sleep
 
     req = urllib.request.Request(
         url,
@@ -133,11 +151,21 @@ def http_get(url: str, timeout_s: int = 300, data: str | None = None) -> bytes:
         headers={"Accept-Encoding": "gzip",
                  "User-Agent": "housenumbercore_spark/2.0"},
     )
-    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-        payload = resp.read()
-        if resp.headers.get("Content-Encoding") == "gzip" or payload[:2] == b"\x1f\x8b":
-            payload = gzip.decompress(payload)
-        return payload
+    failed = 0
+    while True:
+        if failed > 0:
+            sleep(2 * failed)  # 2s, 4s, 6s — the reference's wait ladder
+        try:
+            with urlopen(req, timeout=timeout_s) as resp:
+                payload = resp.read()
+                enc = resp.headers.get("Content-Encoding")
+                if enc == "gzip" or payload[:2] == b"\x1f\x8b":
+                    payload = gzip.decompress(payload)
+                return payload
+        except Exception:
+            failed += 1
+            if failed > max_tries:
+                raise
 
 
 def fetch_overpass(

@@ -96,16 +96,27 @@ def _fs_leaf_partition_dirs(fs, base, depth: int) -> list[list[str]]:
 def _fs_find_partition_dir(fs, base, values: tuple) -> list[str] | None:
     """Name-components of the partition dir under ``base`` whose DECODED
     values equal ``values`` (robust to Hive percent-escaping and the NULL
-    marker), or None if absent."""
+    marker), or None if absent.
+
+    Only real ``col=value`` dirs are candidates — ``_stage_``/``_old_``
+    and other metadata dirs must never match (a ``_stage_<uuid>`` name
+    decodes to value '' via ``partition('=')``, and matching it would
+    move the in-flight staging dir to trash mid-commit). Hive stores both
+    NULL and the empty string as __HIVE_DEFAULT_PARTITION__, so a wanted
+    '' maps to the NULL marker before comparing."""
     cur = base
     rel: list[str] = []
     for want in values:
+        if want == "":
+            want = None
         nxt = None
         if fs.exists(cur):
             for st in fs.listStatus(cur):
                 if not st.isDirectory():
                     continue
                 name = st.getPath().getName()
+                if "=" not in name or name.startswith(("_", ".")):
+                    continue
                 if _decode_part_dir(name)[1] == want:
                     nxt = st.getPath()
                     rel.append(name)
@@ -137,6 +148,10 @@ def merge_upsert_partitioned(
 
     ``updates`` must carry the partition columns. ``deletes`` is an optional
     key DataFrame listing rows to drop (the diff protocol's DELETE set).
+    Touched partitions are derived from the update rows AND from the
+    current rows matching update/delete keys, so an update that moves a
+    key to a different partition also rewrites the key's old partition
+    (no stale duplicate left behind).
 
     Commit protocol (parquet cannot overwrite a path it is reading, and the
     old staging-table double-write cost 2× I/O on every touched partition):
@@ -178,19 +193,44 @@ def merge_upsert_partitioned(
             [F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols],
         )
 
+    # partition-column comparisons additionally fold '' to NULL on string
+    # columns: Hive stores both in __HIVE_DEFAULT_PARTITION__, so at the
+    # STORAGE layer they are one partition — an update into the '' value
+    # must pull the NULL partition's current rows into the merge, or the
+    # staged hive-null dir would replace them (data loss)
+    str_cols = {c for c, t in dict(updates.dtypes).items() if t == "string"}
+
+    def pn(side: str, c: str):
+        col = F.col(f"{side}.{c}")
+        if c in str_cols:
+            return F.when(col == "", F.lit(None)).otherwise(col)
+        return col
+
+    def ns_part(left: str, right: str):
+        return functools.reduce(
+            lambda a, b: a & b,
+            [pn(left, c).eqNullSafe(pn(right, c)) for c in partition_cols],
+        )
+
     current = spark.read.parquet(path)
     upd_keys = updates.select(*keys).dropDuplicates()
     del_keys = deletes.select(*keys).dropDuplicates() if deletes is not None else None
     touched = updates.select(*partition_cols).dropDuplicates()
-    if del_keys is not None:
-        touched = touched.unionByName(
-            current.alias("__c")
-            .join(del_keys.alias("__d"), ns("__c", "__d", keys), "left_semi")
-            .select(*partition_cols)
-            .dropDuplicates()
-        ).dropDuplicates()
+    # partitions holding the CURRENT row of any updated/deleted key are
+    # touched too: an update whose partition value differs from the
+    # current row's must rewrite the old partition (drop the stale copy),
+    # and deletes must rewrite the partitions their rows live in
+    hit_keys = (
+        upd_keys if del_keys is None else upd_keys.unionByName(del_keys)
+    ).dropDuplicates()
+    touched = touched.unionByName(
+        current.alias("__c")
+        .join(hit_keys.alias("__d"), ns("__c", "__d", keys), "left_semi")
+        .select(*partition_cols)
+        .dropDuplicates()
+    ).dropDuplicates()
     kept = current.alias("__cur").join(
-        touched.alias("__tch"), ns("__cur", "__tch", partition_cols), "left_semi"
+        touched.alias("__tch"), ns_part("__cur", "__tch"), "left_semi"
     )
     kept = kept.alias("__k1").join(
         upd_keys.alias("__u"), ns("__k1", "__u", keys), "left_anti"
@@ -220,7 +260,12 @@ def merge_upsert_partitioned(
     }
     emptied_rels = []
     for row in touched_rows:
-        want = tuple(row[c] for c in partition_cols)
+        # Hive stores NULL and '' identically (__HIVE_DEFAULT_PARTITION__,
+        # decoded as None), so an empty-string value normalizes to None
+        # before any directory matching
+        want = tuple(
+            None if row[c] == "" else row[c] for c in partition_cols
+        )
         if want not in staged_vals:
             rel = _fs_find_partition_dir(fs, root, want)
             if rel is not None:

@@ -128,7 +128,7 @@ def run_image_gate(
     commit replays the batch into the same directory instead of
     duplicating rows (a plain append sink would double them). Readers see
     the batch id as a partition column. Returns counts."""
-    import shutil
+    from ..sources.sinks import _hadoop_fs
 
     gated = image_stream(spark, src_dir)
 
@@ -143,8 +143,13 @@ def run_image_gate(
                     part.write.mode("overwrite").parquet(pdir)
                 else:
                     # clear a possible partial dir from a crashed attempt —
-                    # an empty replay must not leave stale rows behind
-                    shutil.rmtree(pdir, ignore_errors=True)
+                    # an empty replay must not leave stale rows behind.
+                    # Deletion goes through the Hadoop FileSystem API so it
+                    # works on whatever filesystem the write side targets
+                    # (a driver-local shutil.rmtree would silently no-op on
+                    # hdfs:/s3a: and resurrect the partial rows).
+                    _, fs, jpath = _hadoop_fs(spark, pdir)
+                    fs.delete(jpath, True)
         finally:
             batch_df.unpersist()
 

@@ -23,14 +23,17 @@ def prepare_corpus(
     min_quality: float = 0.55,
     languages: list[str] | None = None,
     jaccard_threshold: float = 0.5,
+    keep_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """→ (kept_docs, report).
 
-    ``kept_docs``: the input rows that survive all four gates, with
-    ``quality`` and ``pred_lang`` columns attached. ``report``: one row
-    per stage — (stage, n_in, n_out) — for pipeline observability,
-    computed EAGERLY with one count per stage boundary (adjacent stages
-    share a boundary, so counting per-row-pair would double the work).
+    Input contract: ``docs`` must carry ``doc_id``, ``text`` and a
+    ``lang`` label column (lang_id projects it as its accuracy label).
+    ``kept_docs`` schema: exactly ``(doc_id, text, quality, pred_lang,
+    *keep_cols)`` — any other input column is DROPPED unless named in
+    ``keep_cols``, which threads it through the narrow enrichment
+    projections (no extra join). ``report``: one row per stage —
+    (stage, n_in, n_out) — for pipeline observability.
 
     Stages:
 
@@ -40,27 +43,46 @@ def prepare_corpus(
        content group;
     4. near-dup keep-one — MinHash LSH pairs at ``jaccard_threshold``,
        connected components, keep cluster canonicals.
-    """
+
+    Execution shape of the eager report: the first three stage counts
+    come from ONE aggregate pass over the enrichment lineage (input /
+    quality-gate / language-filter are conditional counts of the same
+    narrow map), and the two expensive boundaries (post-exact-dedup
+    ``s3``, final ``kept``) are ``localCheckpoint``-ed BEFORE counting —
+    so the MinHash pair generation + cluster propagation execute exactly
+    once per run, and the returned ``kept_docs`` is a materialized scan
+    the caller can reuse without re-running any stage."""
     from . import analysis as TA
     from . import dedup as TD
 
     # one narrow pass attaches both scores (keep_cols pass-through) —
     # joining projections of docs back to docs would shuffle the full
     # text twice for what is a map-only computation
-    q = TA.quality_score(docs, keep_cols=("text", "lang"))
-    enriched = TA.lang_id(q, keep_cols=("text", "quality")).select(
-        "doc_id", "text", "quality", "pred_lang"
+    q = TA.quality_score(docs, keep_cols=("text", "lang") + keep_cols)
+    enriched = TA.lang_id(q, keep_cols=("text", "quality") + keep_cols).select(
+        "doc_id", "text", "quality", "pred_lang", *keep_cols
     )
 
-    s1 = enriched.filter(F.col("quality") >= min_quality)
-    s2 = s1.filter(F.col("pred_lang").isin(languages)) if languages else s1
+    pass_q = F.col("quality") >= min_quality
+    pass_lang = (
+        pass_q & F.col("pred_lang").isin(languages) if languages else pass_q
+    )
+    # stage counts 0-2 in a single job over the enrichment map (the
+    # per-stage .count() chain re-ran the same lineage four times)
+    n0, n1, n2 = enriched.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(pass_q, 1)),
+        F.count(F.when(pass_lang, 1)),
+    ).first()
 
+    s2 = enriched.filter(pass_lang)
     ex = TD.exact_dedup(s2.select("doc_id", "text"))
     s3 = s2.join(
         ex.filter(F.col("doc_id") == F.col("canonical_doc_id")).select("doc_id"),
         "doc_id",
         "left_semi",
-    )
+    ).localCheckpoint()  # feeds pair-gen AND kept AND the count: run once
+    n3 = s3.count()
 
     pairs = TD.minhash_dedup_pairs(s3.select("doc_id", "text")).filter(
         F.col("jaccard") >= jaccard_threshold
@@ -70,15 +92,17 @@ def prepare_corpus(
     )
     kept = s3.join(
         clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
-    )
+    ).localCheckpoint()  # counted here and materialized by the caller
+    n4 = kept.count()
 
-    names = ["input", "quality_gate", "language_filter", "exact_dedup",
-             "neardup_keep_one"]
-    # enriched == docs row-wise (narrow projection), so 6 boundary counts
-    # cover all 5 stages; each DataFrame is counted exactly once
-    counts = [df.count() for df in (docs, enriched, s1, s2, s3, kept)]
     report = docs.sparkSession.createDataFrame(
-        [(n, counts[i], counts[i + 1]) for i, n in enumerate(names)],
+        [
+            ("input", n0, n0),
+            ("quality_gate", n0, n1),
+            ("language_filter", n1, n2),
+            ("exact_dedup", n2, n3),
+            ("neardup_keep_one", n3, n4),
+        ],
         "stage string, n_in long, n_out long",
     )
     return kept, report
@@ -101,7 +125,12 @@ def sample_to_token_budget(
     document payloads, and the SAME documents are kept on every run and
     every partitioning. Expected kept tokens per group =
     fraction × group_tokens; deviation is one document's tokens in the
-    worst case per hash-boundary, negligible at corpus scale."""
+    worst case per hash-boundary, negligible at corpus scale.
+
+    Output contract: the input columns plus ``n_tokens`` (whitespace
+    token count of ``text``). ``n_tokens`` is RECOMPUTED here — a
+    pre-existing ``n_tokens`` column on the input is replaced, so the
+    budget arithmetic and the emitted counts always agree."""
     from .analysis import tokens_col
     from .hashing import h60_spark
 
@@ -225,35 +254,40 @@ def pack_sequences(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
         bucket = int(pdf["__bucket"].iat[0]) if len(pdf) else 0
+        # plain ndarray iteration — iterrows built a Series per row and
+        # dominated the loop at 10⁵-doc buckets (~10× overhead)
+        ntok = pdf["n_tokens"].to_numpy()
+        out_pack = np.empty(len(ntok), dtype=np.int64)
+        out_slot = np.empty(len(ntok), dtype=np.int32)
         packs: list[int] = []  # remaining capacity per open pack
-        out_pack, out_slot = [], []
         slots: list[int] = []  # next slot per pack
-        for _, row in pdf.iterrows():
-            n = int(row["n_tokens"])
+        for j, n in enumerate(ntok.tolist()):
             if n > max_tokens:  # oversize: its own pack, flagged
                 packs.append(0)
                 slots.append(0)
-                out_pack.append(len(packs) - 1)
-                out_slot.append(-1)
+                out_pack[j] = len(packs) - 1
+                out_slot[j] = -1
                 continue
             for i, cap in enumerate(packs):  # first fit (decreasing order)
                 if cap >= n:
                     packs[i] = cap - n
-                    out_pack.append(i)
-                    out_slot.append(slots[i])
+                    out_pack[j] = i
+                    out_slot[j] = slots[i]
                     slots[i] += 1
                     break
             else:
                 packs.append(max_tokens - n)
                 slots.append(1)
-                out_pack.append(len(packs) - 1)
-                out_slot.append(0)
+                out_pack[j] = len(packs) - 1
+                out_slot[j] = 0
         pdf = pdf.drop(columns="__bucket")
-        pdf["pack_id"] = [(bucket << 40) + p for p in out_pack]
+        pdf["pack_id"] = (bucket << 40) + out_pack
         pdf["pack_slot"] = out_slot
         return pdf
 

@@ -178,36 +178,104 @@ def ann_recall(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
 
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
+KMEANS_SAMPLE = 4096
+KMEANS_ITERS = 10
 
 
-def ivf_index(emb: DataFrame, n_centroids: int = IVF_CENTROIDS) -> DataFrame:
-    """IVF inverted lists: (vec_id, qv, n2, centroid_id) — every corpus
-    vector assigned to its max-cosine coarse centroid.
-
-    Centroids are the vectors of the first ``n_centroids`` ids —
-    deterministic and dimension-scale (a production build would k-means a
-    sample; the index SHAPE is identical). The centroid vectors inline as
-    literal arrays in one argmax expression (exactly how ann_buckets
-    inlines its hyperplanes), so assignment is a PURE MAP — zero
-    exchanges, no vector payload ever shuffles (plan-asserted in
-    tests/test_plans.py). Ties break to the lowest centroid id; cosine is
-    rounded to 6 dp like :func:`_cos`, keeping results bit-identical
-    across engines and partitionings."""
-    q = quantized(emb)
-    cents = (
-        q.filter(F.col("vec_id") < n_centroids)
+def _first_n_centroids(emb: DataFrame, n_centroids: int) -> list[tuple]:
+    """Default centroid set: the corpus vectors with the first
+    ``n_centroids`` ids as (centroid_id, qv, n2) tuples — deterministic
+    and dimension-scale. :func:`kmeans_centroids` is the trained
+    alternative; both feed the same inlined-literal assignment."""
+    rows = (
+        quantized(emb)
+        .filter(F.col("vec_id") < n_centroids)
         .select("vec_id", "qv", "n2")
         .collect()  # dimension-scale: n_centroids rows, like ann planes
     )
+    return [
+        (int(r.vec_id), [int(x) for x in r.qv], int(r.n2))
+        for r in sorted(rows, key=lambda r: r.vec_id)
+    ]
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    sample_size: int = KMEANS_SAMPLE,
+    iters: int = KMEANS_ITERS,
+) -> list[tuple]:
+    """Spherical k-means (Lloyd, cosine assignment) on a DETERMINISTIC
+    sample → (centroid_id, qv, n2) tuples for :func:`ivf_index` /
+    :func:`ivf_topk`.
+
+    Sample = the ``sample_size`` vectors with the smallest 60-bit id hash
+    — a uniform sample that is identical on every run and every
+    partitioning (same device as text/corpus.py sampling; no RNG state).
+    The sort+limit moves only (hash, qv) rows, and the sample is
+    FIXED-SIZE no matter the corpus size, so at 10¹²-vector scale the
+    driver-side training cost is O(sample × k × iters × dim) — constant —
+    while assignment stays the inlined-literal pure map. Init = first
+    ``n_centroids`` sample vectors in hash order; empty clusters keep
+    their previous centroid. Output vectors are unit-normalized then
+    re-quantized to the int64 grid (cosine is scale-invariant, so the
+    assignment arithmetic is unchanged)."""
+    import numpy as np
+
+    from ..text.hashing import h60_spark
+
+    q = quantized(emb).withColumn(
+        "__h", F.expr(h60_spark("cast(vec_id as string)"))
+    )
+    rows = q.orderBy("__h", "vec_id").limit(sample_size).collect()
+    X = np.array([r.qv for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    k = min(n_centroids, len(X))
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    out = []
+    for j in range(k):
+        qv = [int(v) for v in np.round(C[j] * QUANT)]
+        out.append((j, qv, sum(v * v for v in qv)))
+    return out
+
+
+def ivf_index(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    centroids: list[tuple] | None = None,
+) -> DataFrame:
+    """IVF inverted lists: (vec_id, qv, n2, centroid_id) — every corpus
+    vector assigned to its max-cosine coarse centroid.
+
+    ``centroids`` is an explicit (centroid_id, qv, n2) list — pass
+    :func:`kmeans_centroids` output for a trained coarse quantizer;
+    default is :func:`_first_n_centroids` (deterministic, mirrored by the
+    DuckDB oracle). The centroid vectors inline as literal arrays in one
+    argmax expression (exactly how ann_buckets inlines its hyperplanes),
+    so assignment is a PURE MAP — zero exchanges, no vector payload ever
+    shuffles (plan-asserted in tests/test_plans.py). Ties break to the
+    lowest centroid id; cosine is rounded to 6 dp like :func:`_cos`,
+    keeping results bit-identical across engines and partitionings."""
+    q = quantized(emb)
+    cents = centroids or _first_n_centroids(emb, n_centroids)
     structs = []
-    for c in sorted(cents, key=lambda r: r.vec_id):
-        arr = f"array({', '.join(str(int(x)) for x in c.qv)})"
+    for cid, cqv, cn2 in sorted(cents):
+        arr = f"array({', '.join(str(int(x)) for x in cqv)})"
         dot = f"aggregate(zip_with(qv, {arr}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
         cos = (
             f"round(cast({dot} as double) / "
-            f"(sqrt(cast(n2 as double)) * sqrt({float(c.n2)!r}d)), 6)"
+            f"(sqrt(cast(n2 as double)) * sqrt({float(cn2)!r}d)), 6)"
         )
-        structs.append(f"struct({cos} as s, {-int(c.vec_id)}L as nr)")
+        structs.append(f"struct({cos} as s, {-int(cid)}L as nr)")
     best = f"array_max(array({', '.join(structs)}))"
     return q.withColumn(
         "centroid_id", F.expr(f"cast(-({best}.nr) as bigint)")
@@ -220,18 +288,21 @@ def ivf_topk(
     k: int = TOPK,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     centroids and ranks exact cosine within those inverted lists only —
     the scan fraction is ≈ nprobe/n_centroids of the corpus per query,
     reached through an equi-join on centroid_id (broadcast of nq×nprobe
-    probe rows). With ``nprobe == n_centroids`` the result is EXACTLY
-    brute_force_topk (asserted in tests)."""
-    index = ivf_index(emb, n_centroids)
-    cents = index.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qv").alias("cv"),
-        F.col("n2").alias("cn"),
+    probe rows). ``centroids`` as in :func:`ivf_index` (pass
+    :func:`kmeans_centroids` output for the trained quantizer). With
+    ``nprobe == n_centroids`` every inverted list is probed, so the
+    result is EXACTLY brute_force_topk whatever the centroid set
+    (asserted in tests)."""
+    cent_rows = centroids or _first_n_centroids(emb, n_centroids)
+    index = ivf_index(emb, n_centroids, centroids=cent_rows)
+    cents = emb.sparkSession.createDataFrame(
+        cent_rows, "centroid_id bigint, cv array<bigint>, cn bigint"
     )
     q = quantized(emb).filter(F.col("vec_id") < nq)
     probes = q.crossJoin(F.broadcast(cents)).select(
@@ -269,10 +340,12 @@ def ivf_recall(
     k: int = TOPK,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """Per-query recall@k of the IVF path vs brute-force ground truth."""
     return _recall_report(
-        brute_force_topk(emb, nq, k), ivf_topk(emb, nq, k, n_centroids, nprobe)
+        brute_force_topk(emb, nq, k),
+        ivf_topk(emb, nq, k, n_centroids, nprobe, centroids=centroids),
     )
 
 

@@ -129,3 +129,58 @@ def test_overpass_xml_format_bridges_to_element_table(spark):
 
     cent = OX.way_centroids(osm).collect()[0]
     assert cent.osm_id == 11 and abs(cent.lon - 6.11) < 1e-9
+
+
+def test_http_get_retries_with_reference_backoff():
+    """Transport resilience (MunicipalityJobs.java:430-480): two failures
+    then success — retried with the reference's 2×n-second wait ladder;
+    a permanently failing endpoint raises after MAXOVERPASSTRIES extra
+    attempts."""
+    import gzip
+    import io
+
+    import pytest
+
+    from housenumbercore_spark.sources import overpass as OV
+
+    class FakeResp:
+        def __init__(self, payload):
+            self.payload = payload
+            self.headers = {"Content-Encoding": "gzip"}
+
+        def read(self):
+            return self.payload
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    calls, sleeps = [], []
+
+    def flaky(req, timeout=None):
+        calls.append(req.full_url)
+        if len(calls) <= 2:
+            raise OSError("connection reset")
+        return FakeResp(gzip.compress(b"<osm/>"))
+
+    out = OV.http_get(
+        "http://example.invalid/api", _urlopen=flaky, _sleep=sleeps.append
+    )
+    assert out == b"<osm/>"
+    assert len(calls) == 3
+    assert sleeps == [2, 4], "reference wait ladder is 2*n seconds"
+
+    calls.clear()
+    sleeps.clear()
+
+    def dead(req, timeout=None):
+        calls.append(1)
+        raise OSError("down")
+
+    with pytest.raises(OSError):
+        OV.http_get("http://example.invalid/api", _urlopen=dead,
+                    _sleep=sleeps.append)
+    assert len(calls) == 1 + OV.MAX_TRIES
+    assert sleeps == [2, 4, 6]

@@ -277,3 +277,82 @@ def test_merge_upsert_clears_emptied_nested_partition(spark):
     got = spark.read.parquet(path)
     assert got.count() == 9
     assert got.filter("job_id = 1 and day = 20").count() == 0
+
+
+def test_merge_upsert_partition_move_drops_stale_copy(spark):
+    """An update whose partition value differs from the current row's must
+    rewrite the key's OLD partition too — touched partitions are derived
+    from current rows matching update keys, not just from the update rows
+    (otherwise the stale copy survives and the key reads back twice)."""
+    path = tempfile.mkdtemp(prefix="hns_merge_move_")
+    base = [(0, 100, "stay"), (0, 101, "mover-v1"), (1, 200, "other")]
+    SK.write_partitioned(
+        spark.createDataFrame(base, "job_id int, rec_id int, payload string"),
+        path,
+        ["job_id"],
+    )
+    # rec 101 moves from job 0 to job 2
+    updates = spark.createDataFrame(
+        [(2, 101, "mover-v2")], "job_id int, rec_id int, payload string"
+    )
+    SK.merge_upsert_partitioned(spark, path, updates, ["rec_id"], ["job_id"])
+    got = {(r.job_id, r.rec_id): r.payload for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (0, 100): "stay",
+        (2, 101): "mover-v2",
+        (1, 200): "other",
+    }, got
+
+
+def test_merge_upsert_empty_string_partition_value(spark):
+    """Hive stores '' like NULL (__HIVE_DEFAULT_PARTITION__), while
+    CAST('' AS STRING) stays '' — the wanted value must map to the NULL
+    marker, and the emptied-partition scan must never match the in-flight
+    _stage_/_old_ dirs themselves (a name without '=' decodes to value '',
+    which used to collide with a wanted '' and trash the staging dir
+    mid-commit)."""
+    path = tempfile.mkdtemp(prefix="hns_merge_empty_val_")
+    base = [("", 0, "e-0"), ("x", 0, "x-0")]
+    SK.write_partitioned(
+        spark.createDataFrame(base, "city string, rec_id int, payload string"),
+        path,
+        ["city"],
+    )
+    assert os.path.exists(os.path.join(path, "city=__HIVE_DEFAULT_PARTITION__"))
+
+    # update a row INTO the ''-valued partition: its staged dir is the
+    # hive-null dir while touched carries '', exercising the mapping
+    updates = spark.createDataFrame(
+        [("", 1, "e-1-new"), ("x", 1, "x-1-new")],
+        "city string, rec_id int, payload string",
+    )
+    SK.merge_upsert_partitioned(spark, path, updates, ["city", "rec_id"], ["city"])
+    got = {(r.city, r.rec_id): r.payload for r in spark.read.parquet(path).collect()}
+    # '' reads back as NULL under hive partition semantics
+    assert got == {
+        (None, 0): "e-0",
+        (None, 1): "e-1-new",
+        ("x", 0): "x-0",
+        ("x", 1): "x-1-new",
+    }, got
+    leftover = [d for d in os.listdir(path) if d.startswith(("_stage_", "_old_"))]
+    assert leftover == [], f"staging dirs trashed/left behind: {leftover}"
+
+
+def test_find_partition_dir_skips_metadata_dirs(spark):
+    """Unit guard: _fs_find_partition_dir must ignore dirs without '=' and
+    underscore/dot-prefixed dirs, and resolve a wanted '' to the hive NULL
+    marker dir."""
+    base = tempfile.mkdtemp(prefix="hns_findpart_")
+    for d in ("_stage_deadbeef", "_old_deadbeef", ".hidden",
+              "city=__HIVE_DEFAULT_PARTITION__", "city=plain"):
+        os.makedirs(os.path.join(base, d))
+    _, fs, root = SK._hadoop_fs(spark, base)
+    assert SK._fs_find_partition_dir(fs, root, ("",)) == [
+        "city=__HIVE_DEFAULT_PARTITION__"
+    ]
+    assert SK._fs_find_partition_dir(fs, root, (None,)) == [
+        "city=__HIVE_DEFAULT_PARTITION__"
+    ]
+    assert SK._fs_find_partition_dir(fs, root, ("plain",)) == ["city=plain"]
+    assert SK._fs_find_partition_dir(fs, root, ("nope",)) is None

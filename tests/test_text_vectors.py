@@ -521,3 +521,79 @@ def test_dedup_clusters_random_graphs_vs_duckdb(spark, seed):
         SELECT id, MIN(r) FROM reach GROUP BY id
     """).fetchall())
     assert got == want
+
+
+def test_prepare_corpus_materialized_once_and_keep_cols(spark):
+    """The report's eager counts must not leave re-execution for the
+    caller: the returned kept_docs is a localCheckpoint scan (LogicalRDD),
+    so materializing it re-runs NOTHING of the MinHash/cluster lineage.
+    keep_cols threads extra input columns through the narrow enrichment."""
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import corpus as C
+
+    docs = P.documents_df(spark, SF)
+    kept, report = C.prepare_corpus(
+        docs, min_quality=0.55, languages=["en", "de"],
+        jaccard_threshold=0.5, keep_cols=("source",),
+    )
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, f"kept not checkpointed:\n{plan[:500]}"
+    assert kept.columns == ["doc_id", "text", "quality", "pred_lang", "source"]
+    # passthrough column carries the input's values
+    joined = kept.select("doc_id", "source").join(
+        docs.select("doc_id", docs.source.alias("src0")), "doc_id"
+    )
+    assert joined.filter("source <> src0").count() == 0
+    rep = {r.stage: (r.n_in, r.n_out) for r in report.collect()}
+    assert rep["neardup_keep_one"][1] == kept.count()
+
+
+def test_kmeans_centroids_deterministic_and_exact_at_full_probe(spark):
+    """The trained coarse quantizer is reproducible across partitionings
+    (hash-ordered sample, no RNG) and, like every centroid set, exact when
+    all lists are probed."""
+    from housenumbercore_spark.vectors import similarity as V
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    km1 = V.kmeans_centroids(emb)
+    km2 = V.kmeans_centroids(emb.repartition(13))
+    assert km1 == km2 and len(km1) == V.IVF_CENTROIDS
+
+    bf = {(r.query_id, r.neighbor_id, r.knn_rank)
+          for r in V.brute_force_topk(emb).collect()}
+    iv = {(r.query_id, r.neighbor_id, r.knn_rank)
+          for r in V.ivf_topk(emb, nprobe=len(km1), centroids=km1).collect()}
+    assert bf == iv
+
+
+def test_kmeans_centroids_beat_first_n_on_clustered_data(spark):
+    """On CLUSTERED embeddings a trained quantizer must beat the first-n
+    placeholder. Construction: the first 16 vectors (= the first-n
+    centroid set) all come from ONE cluster, so first-n collapses to a
+    single direction and sprays every cluster across arbitrary cells,
+    while kmeans re-spreads its 16 centroids over the 64 true clusters.
+    (On the driver's near-random embeddings first-n wins instead — the
+    queries ARE its centroids — which is why the driver row keeps the
+    deterministic first-n oracle.)"""
+    import numpy as np
+
+    from housenumbercore_spark.vectors import similarity as V
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, 64))
+    rows = []
+    for i in range(16):
+        v = centers[0] + 0.15 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(16, 400):
+        v = centers[i % 64] + 0.15 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v], i % 64))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    km = V.kmeans_centroids(emb, sample_size=400)
+    rec_km = [float(r.recall_at_k) for r in V.ivf_recall(emb, centroids=km).collect()]
+    rec_fn = [float(r.recall_at_k) for r in V.ivf_recall(emb).collect()]
+    mean_km, mean_fn = sum(rec_km) / len(rec_km), sum(rec_fn) / len(rec_fn)
+    assert mean_km >= 0.95, (mean_km, rec_km)
+    assert mean_km > mean_fn, (mean_km, mean_fn)
