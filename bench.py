@@ -67,24 +67,35 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
         queries = entrymod.queries()
+        # per-query in-run median-of-N (round-3 verdict ask: the recorded
+        # artifact must be noise-robust for EVERY headline query, not just
+        # the flagship — this host's timing noise spans 10-20× on identical
+        # runs). Each repeat re-times construction + execution: some queries
+        # run eager actions (checkpoint rounds) while building, and
+        # excluding those made round-1 recorded numbers irreproducible
+        # under driver conditions.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
         timings: dict[str, float] = {}
+        timings_min: dict[str, float] = {}
         rows: dict[str, int] = {}
         for name in HEADLINE:
             q = queries[name]
             print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-            # time construction + execution: some queries run eager actions
-            # (checkpoint rounds) while building, and excluding those made
-            # round-1 recorded numbers irreproducible under driver conditions
-            t0 = time.perf_counter()
-            df = q(spark, sf_dir)
-            try:
-                df.write.format("noop").mode("overwrite").save()
-                n = -1
-            except Exception:
-                n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                df = q(spark, sf_dir)
+                try:
+                    df.write.format("noop").mode("overwrite").save()
+                    n = -1
+                except Exception:
+                    n = df.count()
+                samples.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()  # isolate per-query measurements
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
+            timings_min[name] = round(samples[0], 3)
             rows[name] = n
-            spark.catalog.clearCache()  # isolate per-query measurements
 
         # flagship throughput (the BASELINE.json metric): the replicated
         # flagship job — the same shape BENCH/scaling.py times — so the
@@ -122,12 +133,17 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         t_flag = samples[len(samples) // 2]
         t_flag_min = samples[0]
         timings["flagship_replicated"] = round(t_flag, 3)
+        timings_min["flagship_replicated"] = round(t_flag_min, 3)
         m = re.search(r"sf([\d.]+)", sf_dir)
         return {
             "metric": "spatial-join+tile-assignment",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
+            # in-run minima per query: the uncontended capability of the
+            # same plans, for separating host noise from plan regressions
+            "queries_min_sec": timings_min,
+            "bench_repeats": repeats,
             "sf": float(m.group(1)) if m else None,
             # output rows/sec (one row per point × covering area — ~2 levels
             # overlap by design); input points/sec reported separately
