@@ -655,6 +655,63 @@ def resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.join(F.broadcast(fresh), "job_id", "left_anti")
 
 
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S10 + §1.3 snapshot isolation, end to end through the versioned
+    table layer (sources/snapshots.py — the Iceberg metadata pattern the
+    sink docstrings point to): v1 = append the orders-derived base, v2 =
+    dynamic-partition overwrite of buckets 0-1 with shifted ids, v3 =
+    rollback to v1. One row per version with its pinned row count and id
+    sum — verifying time travel (v1 still exact after v2), metadata-only
+    partition replacement, and rollback re-pointing. Reference:
+    Workcache.java:2-20 'evaluation stays visible during recompute'."""
+    import tempfile
+    from functools import reduce
+
+    from .sources import snapshots as SN
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+    )
+    table = tempfile.mkdtemp(prefix="hns_snaptbl_") + "/t"
+    SN.snapshot_write(base, table, ["bucket"], mode="append")
+    repl = base.filter(F.col("bucket") < 2).select(
+        (F.col("id") + 10_000_000).alias("id"), "bucket"
+    )
+    SN.snapshot_write(repl, table, ["bucket"], mode="overwrite_partitions")
+    SN.rollback(spark, table, 1)
+    outs = []
+    for v in (1, 2, 3):
+        df = SN.read_snapshot(spark, table, version=v)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("id").alias("sum_id"),
+            ).select(F.lit(v).alias("version"), "n_rows", "sum_id")
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def snapshot_time_travel_sql() -> str:
+    """DuckDB oracle: recompute each version's expected contents from the
+    same deterministic arithmetic (v3 = rollback ≡ v1)."""
+    return """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS id,
+         CAST(o_orderkey % 8 AS INT) AS bucket
+  FROM orders),
+v2 AS (
+  SELECT id + 10000000 AS id, bucket FROM base WHERE bucket < 2
+  UNION ALL
+  SELECT id, bucket FROM base WHERE bucket >= 2)
+SELECT 1 AS version, COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id FROM base
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(id) AS BIGINT) FROM v2
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(id) AS BIGINT) FROM base"""
+
+
 def sorted_street_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 + O3: distinct street names ordered by the locale-folding
     `correctorder` key (dbfunctions.sql:15-19) with a deterministic rank.

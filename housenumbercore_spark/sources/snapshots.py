@@ -1,0 +1,391 @@
+"""Snapshot-versioned parquet tables: Iceberg's metadata design from
+scratch — snapshot isolation, time travel, rollback, vacuum.
+
+The reference keeps an evaluation visible while its municipality is being
+recomputed (Workcache.java:2-20 — readers see the old rows until the
+per-municipality transaction commits). sinks.py reproduces the COMMIT with
+partition-directory swaps but, as its docstring concedes, cannot give
+readers a pinned view: a reader that lists files mid-swap can see the new
+data. This module closes that gap with the (public) Iceberg metadata
+pattern over plain parquet — no Iceberg runtime exists in this sandbox:
+
+- every write lands in a fresh immutable directory under ``data/``;
+- a snapshot is a JSON manifest (``_meta/v<N>.json``) listing the data
+  directories (with their partition values and row counts) that make up
+  the table at version N;
+- the current version is a one-line pointer file (``_meta/VERSION``)
+  committed by ATOMIC RENAME — the single linearization point.
+
+Readers resolve the pointer once at plan time and scan only the listed
+directories, so a concurrent commit NEVER changes a running query
+(snapshot isolation); old versions stay readable (`time travel`) until
+:func:`vacuum` reclaims them; :func:`rollback` is a metadata-only commit
+that re-points to a previous file set.
+
+Scale notes (100 TB): the manifest is driver-side JSON listing O(write)
+directory entries, not per-file entries — fine to ~10⁵ commits; real
+Iceberg moves exactly this structure into avro manifest *files* plus a
+manifest *list* per snapshot, which is the drop-in upgrade (same calls,
+``writeTo(...).createOrReplace()``) on a cluster with the Iceberg runtime.
+Partition values are tracked per data directory, so
+``overwrite_partitions`` and partition-pruned reads are metadata
+operations — no data listing, no shuffle. Commits are optimistic
+single-writer: a concurrent commit surfaces as CommitConflict (the
+pointer moved), never as corruption.
+
+Reference parity: Workcache.java:243-424 (diff protocol transaction),
+MunicipalityJobs.java "evaluation stays visible during recompute";
+SURVEY §1.3/S8-S10.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sinks import _hadoop_fs
+
+META = "_meta"
+DATA = "data"
+
+
+class CommitConflict(RuntimeError):
+    """The VERSION pointer moved between manifest read and commit."""
+
+
+def _read_text(fs, jvm, jpath) -> str | None:
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # copy JVM-side (one py4j call total — ByteBuffer reads are
+        # unsupported on ChecksumFileSystem, per-byte RPC is unusable)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write ``text`` to ``path`` via tmp-file + atomic rename."""
+    jvm, fs, jpath = _hadoop_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp.{uuid.uuid4().hex}")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    if not fs.rename(tmp, jpath):
+        fs.delete(jpath, False)
+        if not fs.rename(tmp, jpath):
+            raise IOError(f"cannot commit {path}")
+
+
+def current_version(spark: SparkSession, table: str) -> int | None:
+    jvm, fs, _ = _hadoop_fs(spark, table)
+    txt = _read_text(
+        fs, jvm, jvm.org.apache.hadoop.fs.Path(f"{table}/{META}/VERSION")
+    )
+    return int(txt.strip()) if txt else None
+
+
+def load_snapshot(spark: SparkSession, table: str, version: int) -> dict:
+    jvm, fs, _ = _hadoop_fs(spark, table)
+    txt = _read_text(
+        fs, jvm, jvm.org.apache.hadoop.fs.Path(f"{table}/{META}/v{version}.json")
+    )
+    if txt is None:
+        raise FileNotFoundError(f"no snapshot v{version} under {table}")
+    return json.loads(txt)
+
+
+def _partition_values(
+    df: DataFrame, partition_cols: list[str]
+) -> tuple[list[list], list[list]]:
+    """Distinct partition tuples of ``df`` → (raw JSON-primitive values,
+    JVM-rendered strings). The strings come from CAST(col AS STRING) so
+    they match Spark's own partition-directory naming (Python ``str()``
+    renders doubles differently — 1e-07 vs 1.0E-7); the raw values feed
+    typed DataFrame filters."""
+    from pyspark.sql import functions as F
+
+    if not partition_cols:
+        return [], []
+    rows = (
+        df.select(
+            *partition_cols,
+            *[
+                F.col(c).cast("string").alias(f"__s_{c}")
+                for c in partition_cols
+            ],
+        )
+        .dropDuplicates(partition_cols)
+        .collect()
+    )
+    raw, rendered = [], []
+    for r in rows:
+        vals = [r[c] for c in partition_cols]
+        for v in vals:
+            if v is not None and not isinstance(v, (str, int, float, bool)):
+                raise ValueError(
+                    f"partition value {v!r} is not JSON-primitive — use "
+                    "string/int partition columns (cast dates to strings)"
+                )
+        raw.append(vals)
+        rendered.append([r[f"__s_{c}"] for c in partition_cols])
+    return raw, rendered
+
+
+def snapshot_write(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` as a new snapshot of ``table``; returns the version.
+
+    mode:
+      - ``append`` — new files join the parent's file set;
+      - ``overwrite`` — new files REPLACE the whole table;
+      - ``overwrite_partitions`` — new files replace parent entries whose
+        partition values intersect ``df``'s (Iceberg dynamic-partition
+        overwrite; metadata-only diff, old files untouched on disk).
+
+    The data write is one Spark job into a fresh immutable directory; the
+    commit is one atomic pointer rename. Readers pinned to any earlier
+    version are unaffected (their directories are never rewritten)."""
+    spark = df.sparkSession
+    partition_cols = list(partition_cols or [])
+    parent = current_version(spark, table)
+    parent_entries: list[dict] = []
+    if parent is not None:
+        snap = load_snapshot(spark, table, parent)
+        if snap["partition_cols"] != partition_cols:
+            raise ValueError(
+                f"partition_cols {partition_cols} != table's "
+                f"{snap['partition_cols']}"
+            )
+        parent_entries = snap["entries"]
+
+    write_id = uuid.uuid4().hex
+    data_dir = f"{table}/{DATA}/{write_id}"
+    n_rows = df.count()
+    writer = df.write.mode("error")
+    if partition_cols:
+        writer = df.repartition(*partition_cols).write.mode("error").partitionBy(
+            *partition_cols
+        )
+    writer.parquet(data_dir)
+
+    new_parts, new_parts_str = _partition_values(df, partition_cols)
+    entry = {
+        "dir": f"{DATA}/{write_id}",
+        "rows": n_rows,
+        "partitions": new_parts,
+        "partitions_str": new_parts_str,
+    }
+    if mode == "append":
+        entries = parent_entries + [entry]
+    elif mode == "overwrite":
+        entries = [entry]
+    elif mode == "overwrite_partitions":
+        if not partition_cols:
+            raise ValueError("overwrite_partitions needs partition_cols")
+        touched = {tuple(p) for p in new_parts_str}
+        entries = []
+        for e in parent_entries:
+            keep = [
+                i
+                for i, p in enumerate(e["partitions_str"])
+                if tuple(p) not in touched
+            ]
+            if len(keep) == len(e["partitions"]):
+                entries.append(e)
+            elif keep:
+                # entry straddles touched + untouched partitions: narrow it
+                # to the kept partitions — reads then scan only the kept
+                # leaf dirs (rows=None marks the narrowed state)
+                entries.append(
+                    {
+                        **e,
+                        "partitions": [e["partitions"][i] for i in keep],
+                        "partitions_str": [
+                            e["partitions_str"][i] for i in keep
+                        ],
+                        "rows": None,
+                    }
+                )
+        entries.append(entry)
+    else:
+        raise ValueError(f"unknown mode {mode}")
+
+    version = (parent or 0) + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": mode,
+        "partition_cols": partition_cols,
+        "entries": entries,
+        "schema": df.schema.jsonValue(),
+    }
+    _write_text_atomic(
+        spark, f"{table}/{META}/v{version}.json", json.dumps(manifest)
+    )
+    # linearization point: fail (don't clobber) if someone committed first
+    if current_version(spark, table) != parent:
+        raise CommitConflict(
+            f"{table}: version moved past {parent} during commit"
+        )
+    _write_text_atomic(spark, f"{table}/{META}/VERSION", str(version))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Pinned read of ``table`` at ``version`` (default: current).
+
+    The file set is resolved HERE, once — concurrent commits cannot change
+    the returned DataFrame's inputs (snapshot isolation). With
+    ``partition_filter`` ({col: value}), directories whose manifest
+    partition values all miss the filter are pruned before Spark ever
+    lists them — metadata-only partition pruning; the residual in-file
+    filter is applied on top so straddling entries stay correct."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from .sinks import _fs_find_partition_dir
+
+    v = version if version is not None else current_version(spark, table)
+    if v is None:
+        raise FileNotFoundError(f"{table} has no committed snapshot")
+    snap = load_snapshot(spark, table, v)
+    pcols = snap["partition_cols"]
+    entries = snap["entries"]
+    if partition_filter:
+        idx = {c: i for i, c in enumerate(pcols)}
+        entries = [
+            e
+            for e in entries
+            if any(
+                all(p[idx[c]] == want for c, want in partition_filter.items())
+                for p in e["partitions"]
+            )
+        ]
+    if not entries:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(snap["schema"]))
+
+    # entries narrowed by overwrite_partitions (rows=None) carry only a
+    # SUBSET of their directory's partitions — read exactly those leaf
+    # dirs (decoded-name matching, basePath restores partition columns);
+    # intact entries read in one multi-path scan. Metadata-only pruning:
+    # replaced partitions are never listed, let alone scanned.
+    # one read per data dir (each dir is its own partition-discovery root —
+    # a multi-path read across dirs trips CONFLICTING_DIRECTORY_STRUCTURES);
+    # commit count bounds the union width, vacuum/compaction keeps it small
+    parts = [
+        spark.read.parquet(f"{table}/{e['dir']}")
+        for e in entries
+        if e.get("rows") is not None
+    ]
+    narrowed = [e for e in entries if e.get("rows") is None]
+    if narrowed:
+        jvm, fs, _ = _hadoop_fs(spark, table)
+        for e in narrowed:
+            base = f"{table}/{e['dir']}"
+            jbase = jvm.org.apache.hadoop.fs.Path(base)
+            leaves = []
+            for p in e["partitions_str"]:
+                rel = _fs_find_partition_dir(fs, jbase, tuple(p))
+                if rel is not None:  # absent leaf = partition had no rows
+                    leaves.append("/".join([base] + rel))
+            if leaves:
+                parts.append(
+                    spark.read.option("basePath", base).parquet(*leaves)
+                )
+    df = reduce(lambda a, b: a.unionByName(b), parts)
+    if partition_filter:
+        for c, want in partition_filter.items():
+            df = df.filter(F.col(c).eqNullSafe(F.lit(want)))
+    return df
+
+
+def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
+    """(version, parent, operation, n_entries, n_rows) per snapshot —
+    Iceberg's ``table.history()``/``snapshots`` metadata view."""
+    cur = current_version(spark, table)
+    rows = []
+    for v in range(1, (cur or 0) + 1):
+        s = load_snapshot(spark, table, v)
+        known = [e["rows"] for e in s["entries"]]
+        rows.append(
+            (
+                s["version"],
+                s["parent"],
+                s["operation"],
+                len(s["entries"]),
+                sum(r for r in known if r is not None) if all(
+                    r is not None for r in known
+                ) else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, operation string, n_entries int, n_rows long",
+    )
+
+
+def rollback(spark: SparkSession, table: str, version: int) -> int:
+    """Metadata-only commit re-pointing the table at ``version``'s file
+    set (Iceberg ``rollback_to_snapshot``); history is preserved."""
+    cur = current_version(spark, table)
+    snap = load_snapshot(spark, table, version)
+    new_version = (cur or 0) + 1
+    manifest = {
+        "version": new_version,
+        "parent": cur,
+        "operation": f"rollback_to_v{version}",
+        "partition_cols": snap["partition_cols"],
+        "entries": snap["entries"],
+        "schema": snap["schema"],
+    }
+    _write_text_atomic(
+        spark, f"{table}/{META}/v{new_version}.json", json.dumps(manifest)
+    )
+    if current_version(spark, table) != cur:
+        raise CommitConflict(f"{table}: version moved during rollback")
+    _write_text_atomic(spark, f"{table}/{META}/VERSION", str(new_version))
+    return new_version
+
+
+def vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> list[str]:
+    """Delete data directories referenced ONLY by snapshots older than the
+    last ``keep_last`` versions; returns the removed dirs. Time travel
+    stays valid for every kept version (their file sets are untouched)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        return []
+    keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+    keep_dirs = set()
+    for v in keep_versions:
+        for e in load_snapshot(spark, table, v)["entries"]:
+            keep_dirs.add(e["dir"])
+    jvm, fs, _ = _hadoop_fs(spark, table)
+    data_path = jvm.org.apache.hadoop.fs.Path(f"{table}/{DATA}")
+    removed = []
+    if fs.exists(data_path):
+        for st in fs.listStatus(data_path):
+            rel = f"{DATA}/{st.getPath().getName()}"
+            if st.isDirectory() and rel not in keep_dirs:
+                fs.delete(st.getPath(), True)
+                removed.append(rel)
+    return removed

@@ -42,6 +42,7 @@ QUERIES = [
     "image_decode_stats",
     "knn_nearest_street_shuffle",
     "merge_upsert_snapshot",
+    "snapshot_time_travel",
 ]
 
 

@@ -1,0 +1,183 @@
+"""Snapshot-versioned tables (sources/snapshots.py): isolation, time
+travel, dynamic-partition overwrite, rollback, vacuum, conflict safety.
+
+Reference parity: Workcache.java:243-424's transactional write-back keeps
+the old evaluation visible until commit; here a reader pinned to any
+version NEVER sees a concurrent commit (the Iceberg metadata pattern over
+plain parquet)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from housenumbercore_spark.sources import snapshots as SN
+
+
+def _df(spark, rows, schema="id int, bucket int, payload string"):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def table(spark):
+    t = tempfile.mkdtemp(prefix="hns_snaptest_") + "/tbl"
+    v1 = SN.snapshot_write(
+        _df(spark, [(i, i % 4, f"v1-{i}") for i in range(20)]),
+        t,
+        ["bucket"],
+    )
+    assert v1 == 1
+    return t
+
+
+class TestCommitAndRead:
+    def test_append_accumulates(self, spark, table):
+        SN.snapshot_write(
+            _df(spark, [(100, 0, "x")]), table, ["bucket"], mode="append"
+        )
+        assert SN.read_snapshot(spark, table).count() == 21
+        assert SN.current_version(spark, table) == 2
+
+    def test_snapshot_isolation_pinned_reader(self, spark, table):
+        """The core Workcache property: a reader resolved BEFORE a commit
+        keeps returning the old version's rows after it."""
+        pinned = SN.read_snapshot(spark, table, version=1)
+        SN.snapshot_write(
+            _df(spark, [(999, 0, "new")]), table, ["bucket"], mode="overwrite"
+        )
+        assert pinned.count() == 20  # materialized after the commit
+        assert SN.read_snapshot(spark, table).count() == 1
+
+    def test_time_travel(self, spark, table):
+        SN.snapshot_write(
+            _df(spark, [(999, 0, "new")]), table, ["bucket"], mode="overwrite"
+        )
+        assert SN.read_snapshot(spark, table, version=1).count() == 20
+        assert SN.read_snapshot(spark, table, version=2).count() == 1
+
+    def test_overwrite_partitions_narrows_entries(self, spark, table):
+        """Dynamic-partition overwrite is a METADATA diff: the v1 data dir
+        is untouched, its manifest entry is narrowed to the kept
+        partitions, and the current read scans only the kept leaf dirs."""
+        SN.snapshot_write(
+            _df(spark, [(100 + i, i % 2, f"v2-{i}") for i in range(6)]),
+            table,
+            ["bucket"],
+            mode="overwrite_partitions",
+        )
+        cur = SN.read_snapshot(spark, table)
+        got = {(r.id, r.bucket) for r in cur.collect()}
+        want = {(i, i % 4) for i in range(20) if i % 4 in (2, 3)}
+        want |= {(100 + i, i % 2) for i in range(6)}
+        assert got == want
+        # old version fully intact
+        assert SN.read_snapshot(spark, table, version=1).count() == 20
+        # the narrowed entry contributes ONLY kept-bucket files to the scan
+        v1_dir = SN.load_snapshot(spark, table, 2)["entries"][0]["dir"]
+        v1_files = [f for f in cur.inputFiles() if v1_dir in f]
+        assert v1_files and all(
+            "bucket=2" in f or "bucket=3" in f for f in v1_files
+        )
+
+    def test_partition_filter_prunes_directories(self, spark, table):
+        got = SN.read_snapshot(spark, table, partition_filter={"bucket": 2})
+        assert {r.id for r in got.collect()} == {2, 6, 10, 14, 18}
+        # no-match filter: empty frame, schema preserved
+        empty = SN.read_snapshot(spark, table, partition_filter={"bucket": 9})
+        assert empty.count() == 0
+        assert empty.columns == ["id", "payload", "bucket"] or set(
+            empty.columns
+        ) == {"id", "bucket", "payload"}
+
+    def test_unpartitioned_table(self, spark):
+        t = tempfile.mkdtemp(prefix="hns_snapflat_") + "/tbl"
+        SN.snapshot_write(_df(spark, [(1, 0, "a")]), t)
+        SN.snapshot_write(_df(spark, [(2, 0, "b")]), t, mode="append")
+        assert SN.read_snapshot(spark, t).count() == 2
+        with pytest.raises(ValueError, match="partition_cols"):
+            SN.snapshot_write(
+                _df(spark, [(3, 0, "c")]), t, mode="overwrite_partitions"
+            )
+
+
+class TestHistoryRollbackVacuum:
+    def test_rollback_is_metadata_only(self, spark, table):
+        SN.snapshot_write(
+            _df(spark, [(999, 0, "new")]), table, ["bucket"], mode="overwrite"
+        )
+        v3 = SN.rollback(spark, table, 1)
+        assert v3 == 3
+        assert SN.read_snapshot(spark, table).count() == 20
+        ops = {r.version: r.operation
+               for r in SN.snapshot_history(spark, table).collect()}
+        assert ops == {
+            1: "append", 2: "overwrite", 3: "rollback_to_v1"
+        }
+
+    def test_vacuum_reclaims_unreferenced_only(self, spark, table):
+        SN.snapshot_write(
+            _df(spark, [(999, 0, "new")]), table, ["bucket"], mode="overwrite"
+        )
+        SN.rollback(spark, table, 1)  # v3 references v1's dir again
+        removed = SN.vacuum(spark, table, keep_last=2)  # keeps v2+v3 dirs
+        assert removed == []  # both dirs still referenced by kept versions
+        SN.snapshot_write(
+            _df(spark, [(7, 0, "z")]), table, ["bucket"], mode="overwrite"
+        )
+        removed = SN.vacuum(spark, table, keep_last=1)
+        assert len(removed) == 2  # v1's and v2's dirs now unreferenced
+        assert SN.read_snapshot(spark, table).count() == 1  # current intact
+
+    def test_partition_cols_mismatch_rejected(self, spark, table):
+        with pytest.raises(ValueError, match="partition_cols"):
+            SN.snapshot_write(
+                _df(spark, [(1, 0, "a")]), table, ["id"], mode="append"
+            )
+
+    def test_commit_conflict_detected_and_pointer_unmoved(
+        self, spark, table, monkeypatch
+    ):
+        """Optimistic concurrency: if the pointer moves between parent read
+        and commit, the commit raises and the pointer is NOT clobbered; the
+        orphaned (uncommitted) data dir is reclaimed by vacuum."""
+        real = SN.current_version
+        calls = {"n": 0}
+
+        def racy(spark_, tbl):
+            calls["n"] += 1
+            v = real(spark_, tbl)
+            return v + 1 if calls["n"] == 2 else v  # pointer "moves"
+
+        monkeypatch.setattr(SN, "current_version", racy)
+        with pytest.raises(SN.CommitConflict):
+            SN.snapshot_write(
+                _df(spark, [(50, 0, "race")]), table, ["bucket"], mode="append"
+            )
+        monkeypatch.setattr(SN, "current_version", real)
+        assert SN.current_version(spark, table) == 1
+        assert SN.read_snapshot(spark, table).count() == 20
+        removed = SN.vacuum(spark, table, keep_last=1)
+        assert len(removed) == 1  # the orphaned write
+
+
+class TestLineageIntegration:
+    def test_snapshot_version_as_checkpoint_fingerprint(self, spark, table):
+        """North-rule lineage: checkpoint manifests carry the INPUT
+        snapshot id, so a recompute against a newer snapshot is
+        distinguishable from a resume (checkpoint.py fingerprints)."""
+        from housenumbercore_spark import checkpoint as CP
+
+        v = SN.current_version(spark, table)
+        src = SN.read_snapshot(spark, table, version=v)
+
+        def build(spark_, key):
+            return src.filter(F.col("bucket") == int(key)).select("id", "bucket")
+
+        out = tempfile.mkdtemp(prefix="hns_snap_ckpt_")
+        CP.checkpointed_run(spark, build, [0, 1], out, f"snapshot-v{v}")
+        man = {r.partition: r.input_fingerprint
+               for r in CP.manifest_summary_full(spark, out).collect()}
+        assert man == {"0": "snapshot-v1", "1": "snapshot-v1"}
