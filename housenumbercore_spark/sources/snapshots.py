@@ -134,8 +134,22 @@ def _partition_values(
                     f"partition value {v!r} is not JSON-primitive — use "
                     "string/int partition columns (cast dates to strings)"
                 )
-        raw.append(vals)
-        rendered.append([r[f"__s_{c}"] for c in partition_cols])
+        # Hive stores '' and NULL in the same __HIVE_DEFAULT_PARTITION__
+        # leaf and reads both back as NULL — canonicalize '' to NULL so
+        # manifest identity matches storage identity (else a write into
+        # the '' value would not replace the NULL partition's entry)
+        raw.append([None if v == "" else v for v in vals])
+        rendered.append(
+            [
+                None if s == "" else s
+                for s in (r[f"__s_{c}"] for c in partition_cols)
+            ]
+        )
+    dedup: dict[tuple, list] = {}
+    for rv, sv in zip(raw, rendered):
+        dedup[tuple(sv)] = rv
+    rendered = [list(k) for k in dedup]
+    raw = list(dedup.values())
     return raw, rendered
 
 
@@ -144,6 +158,7 @@ def snapshot_write(
     table: str,
     partition_cols: list[str] | None = None,
     mode: str = "append",
+    replaced_partitions: list[tuple] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table``; returns the version.
 
@@ -153,6 +168,10 @@ def snapshot_write(
       - ``overwrite_partitions`` — new files replace parent entries whose
         partition values intersect ``df``'s (Iceberg dynamic-partition
         overwrite; metadata-only diff, old files untouched on disk).
+        ``replaced_partitions`` widens the replaced set beyond ``df``'s
+        own values — required when a partition ends up EMPTY (a merge
+        that deletes every row of a partition has no row carrying its
+        value, yet the old rows must disappear).
 
     The data write is one Spark job into a fresh immutable directory; the
     commit is one atomic pointer rename. Readers pinned to any earlier
@@ -173,28 +192,45 @@ def snapshot_write(
     write_id = uuid.uuid4().hex
     data_dir = f"{table}/{DATA}/{write_id}"
     n_rows = df.count()
-    writer = df.write.mode("error")
-    if partition_cols:
-        writer = df.repartition(*partition_cols).write.mode("error").partitionBy(
-            *partition_cols
-        )
-    writer.parquet(data_dir)
-
-    new_parts, new_parts_str = _partition_values(df, partition_cols)
-    entry = {
-        "dir": f"{DATA}/{write_id}",
-        "rows": n_rows,
-        "partitions": new_parts,
-        "partitions_str": new_parts_str,
-    }
+    entry = None
+    new_parts: list[list] = []
+    new_parts_str: list[list] = []
+    if n_rows > 0:
+        # a zero-row commit writes no data dir (an empty partitioned
+        # parquet dir has no readable schema) — the manifest alone carries
+        # the change (e.g. a merge that only deletes)
+        writer = df.write.mode("error")
+        if partition_cols:
+            writer = (
+                df.repartition(*partition_cols)
+                .write.mode("error")
+                .partitionBy(*partition_cols)
+            )
+        writer.parquet(data_dir)
+        new_parts, new_parts_str = _partition_values(df, partition_cols)
+        entry = {
+            "dir": f"{DATA}/{write_id}",
+            "rows": n_rows,
+            "partitions": new_parts,
+            "partitions_str": new_parts_str,
+        }
     if mode == "append":
-        entries = parent_entries + [entry]
+        entries = parent_entries + ([entry] if entry else [])
     elif mode == "overwrite":
-        entries = [entry]
+        entries = [entry] if entry else []
     elif mode == "overwrite_partitions":
         if not partition_cols:
             raise ValueError("overwrite_partitions needs partition_cols")
         touched = {tuple(p) for p in new_parts_str}
+        if replaced_partitions:
+            # render the extra raw tuples exactly as Spark renders its own
+            # partition values (CAST AS STRING through the JVM)
+            extra = spark.createDataFrame(
+                [tuple(p) for p in replaced_partitions],
+                df.select(*partition_cols).schema,
+            )
+            _, extra_str = _partition_values(extra, partition_cols)
+            touched |= {tuple(p) for p in extra_str}
         entries = []
         for e in parent_entries:
             keep = [
@@ -218,7 +254,8 @@ def snapshot_write(
                         "rows": None,
                     }
                 )
-        entries.append(entry)
+        if entry:
+            entries.append(entry)
     else:
         raise ValueError(f"unknown mode {mode}")
 
@@ -270,6 +307,10 @@ def read_snapshot(
     pcols = snap["partition_cols"]
     entries = snap["entries"]
     if partition_filter:
+        # '' ≡ NULL under hive partition storage (see _partition_values)
+        partition_filter = {
+            c: (None if w == "" else w) for c, w in partition_filter.items()
+        }
         idx = {c: i for i, c in enumerate(pcols)}
         entries = [
             e
@@ -317,6 +358,80 @@ def read_snapshot(
         for c, want in partition_filter.items():
             df = df.filter(F.col(c).eqNullSafe(F.lit(want)))
     return df
+
+
+def merge_upsert_snapshot_table(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    deletes: DataFrame | None = None,
+) -> int:
+    """The Workcache diff protocol (Workcache.java:243-424) as ONE snapshot
+    commit with full isolation — the versioned-table counterpart of
+    sinks.merge_upsert_partitioned (same merge semantics, same null-safe
+    key handling), but readers keep the pre-merge snapshot until the
+    atomic pointer flip, and the pre-merge version stays time-travelable.
+
+    Per touched partition (updates' partitions ∪ current partitions of
+    updated/deleted keys — an update that moves a key between partitions
+    rewrites both): new rows = current rows minus upd/del keys, plus
+    updates. Untouched partitions are metadata-carried, zero I/O. A
+    partition whose rows are all deleted is passed explicitly as replaced
+    so its old entry is still dropped."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    snap = load_snapshot(spark, table, current_version(spark, table))
+    partition_cols = snap["partition_cols"]
+    if not partition_cols:
+        raise ValueError("merge needs a partitioned snapshot table")
+    current = read_snapshot(spark, table)
+    # canonicalize '' partition values to NULL before any comparison —
+    # hive storage conflates them, and current (read back from disk)
+    # always carries NULL (see _partition_values)
+    for c, t in updates.select(*partition_cols).dtypes:
+        if t == "string":
+            updates = updates.withColumn(
+                c, F.when(F.col(c) == "", F.lit(None)).otherwise(F.col(c))
+            )
+
+    def ns(left: str, right: str, cols: list[str]):
+        return functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols],
+        )
+
+    upd_keys = updates.select(*keys).dropDuplicates()
+    del_keys = deletes.select(*keys).dropDuplicates() if deletes is not None else None
+    hit_keys = (
+        upd_keys if del_keys is None else upd_keys.unionByName(del_keys)
+    ).dropDuplicates()
+    touched = (
+        updates.select(*partition_cols)
+        .unionByName(
+            current.alias("__c")
+            .join(hit_keys.alias("__h"), ns("__c", "__h", keys), "left_semi")
+            .select(*partition_cols)
+        )
+        .dropDuplicates()
+    )
+    touched_vals = [tuple(r[c] for c in partition_cols) for r in touched.collect()]
+    kept = current.alias("__cur").join(
+        touched.alias("__t"), ns("__cur", "__t", partition_cols), "left_semi"
+    )
+    kept = kept.alias("__k").join(
+        hit_keys.alias("__h2"), ns("__k", "__h2", keys), "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*kept.columns))
+    return snapshot_write(
+        merged,
+        table,
+        partition_cols,
+        mode="overwrite_partitions",
+        replaced_partitions=touched_vals,
+    )
 
 
 def snapshot_history(spark: SparkSession, table: str) -> DataFrame:

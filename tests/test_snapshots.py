@@ -163,6 +163,86 @@ class TestHistoryRollbackVacuum:
         assert len(removed) == 1  # the orphaned write
 
 
+class TestMergeOnSnapshot:
+    def test_merge_diff_protocol_with_isolation(self, spark, table):
+        """The Workcache diff as one snapshot commit: updates replace,
+        inserts land, deletes vanish, untouched partitions are carried by
+        metadata — and the pre-merge version stays readable (the isolation
+        the directory-swap sink cannot give)."""
+        updates = _df(
+            spark,
+            [(1, 1, "upd-1"), (100, 2, "new-100")],
+        )
+        deletes = spark.createDataFrame([(4,)], "id int")
+        v = SN.merge_upsert_snapshot_table(
+            spark, table, updates, ["id"], deletes=deletes
+        )
+        assert v == 2
+        got = {r.id: (r.bucket, r.payload)
+               for r in SN.read_snapshot(spark, table).collect()}
+        assert got[1] == (1, "upd-1")
+        assert got[100] == (2, "new-100")
+        assert 4 not in got
+        assert got[7] == (3, "v1-7")  # untouched partition intact
+        assert len(got) == 20  # 20 - 1 deleted + 1 inserted
+        assert SN.read_snapshot(spark, table, version=1).count() == 20
+        # untouched buckets still scan the ORIGINAL v1 files (metadata
+        # carry, zero rewrite)
+        v1_dir = SN.load_snapshot(spark, table, 1)["entries"][0]["dir"]
+        assert any(
+            v1_dir in f for f in SN.read_snapshot(spark, table).inputFiles()
+        )
+
+    def test_merge_partition_move_drops_stale_copy(self, spark, table):
+        """An update that moves a key to another partition rewrites the
+        key's OLD partition too (same guarantee as the sink's fix)."""
+        updates = _df(spark, [(5, 0, "moved-5")])  # 5 lived in bucket 1
+        SN.merge_upsert_snapshot_table(spark, table, updates, ["id"])
+        rows = [r for r in SN.read_snapshot(spark, table).collect() if r.id == 5]
+        assert [(r.bucket, r.payload) for r in rows] == [(0, "moved-5")]
+
+    def test_merge_emptying_a_partition(self, spark):
+        """Deleting every row of a partition drops its entry even though
+        no merged row carries that partition value."""
+        t = tempfile.mkdtemp(prefix="hns_snapempty_") + "/tbl"
+        SN.snapshot_write(
+            _df(spark, [(1, 0, "a"), (2, 1, "b")]), t, ["bucket"]
+        )
+        deletes = spark.createDataFrame([(2,)], "id int")
+        SN.merge_upsert_snapshot_table(
+            spark, t, _df(spark, []), ["id"], deletes=deletes
+        )
+        got = [(r.id, r.bucket) for r in SN.read_snapshot(spark, t).collect()]
+        assert got == [(1, 0)]
+
+    def test_merge_empty_string_partition_value(self, spark):
+        """'' and NULL are ONE partition under hive storage: an update
+        into the '' value must replace the NULL partition's entry (and
+        keep its unrelated rows)."""
+        t = tempfile.mkdtemp(prefix="hns_snapnull_") + "/tbl"
+        SN.snapshot_write(
+            spark.createDataFrame(
+                [("", 1, "e-1"), ("x", 2, "x-2")],
+                "city string, id int, payload string",
+            ),
+            t,
+            ["city"],
+        )
+        updates = spark.createDataFrame(
+            [("", 3, "e-3-new")], "city string, id int, payload string"
+        )
+        SN.merge_upsert_snapshot_table(spark, t, updates, ["id"])
+        got = {(r.city, r.id): r.payload
+               for r in SN.read_snapshot(spark, t).collect()}
+        assert got == {
+            (None, 1): "e-1", (None, 3): "e-3-new", ("x", 2): "x-2"
+        }, got
+        # and the filter treats '' as the NULL partition
+        assert SN.read_snapshot(
+            spark, t, partition_filter={"city": ""}
+        ).count() == 2
+
+
 class TestLineageIntegration:
     def test_snapshot_version_as_checkpoint_fingerprint(self, spark, table):
         """North-rule lineage: checkpoint manifests carry the INPUT
