@@ -196,6 +196,68 @@ class TestRegistrySwap:
             codec._ENCODERS.update(saved_enc)
             codec._DECODERS[:] = saved_dec
 
+    def test_north_rule_psnr_gate_on_real_jpeg_reencodes(self, spark):
+        """The full north-rule chain on REAL JPEG bytes: image rows ride
+        the spatial join, then the invariant gate decodes BOTH payloads
+        (source PNG vs real-JPEG re-encode — bytes differ, so no
+        byte-equal short-circuit) and the per-row PSNR ≥ 40 dB floor
+        holds with finite PSNR values, captions byte-equal."""
+        from housenumbercore_spark.images import udfs as IU
+        from housenumbercore_spark.operators import pip_join as PJ
+        from housenumbercore_spark.sources import synthetic as S
+
+        saved_enc = dict(codec._ENCODERS)
+        saved_dec = list(codec._DECODERS)
+        try:
+            J.register_real_jpeg()
+            sf = "/root/testdata/sf0.001"
+            coords = (
+                S.points_df(spark, sf).limit(40).select("lon", "lat").collect()
+            )
+            src_rows, out_rows = [], []
+            for i, c in enumerate(coords):
+                px = IMG.make_pixels(i)
+                cap = f"caption-{i}"
+                src_rows.append(
+                    (f"im{i}", bytearray(codec.encode_image(px, "png")), cap)
+                )
+                out_rows.append(
+                    (
+                        f"im{i}",
+                        bytearray(codec.encode_image(px, "jpeg")),
+                        cap,
+                        float(c.lon),
+                        float(c.lat),
+                    )
+                )
+            src = spark.createDataFrame(
+                src_rows, "image_id string, bytes binary, caption string"
+            )
+            out = spark.createDataFrame(
+                out_rows,
+                "image_id string, bytes binary, caption string, "
+                "lon double, lat double",
+            )
+            assigned = PJ.assign_points_to_areas(
+                spark, out, S.areas_df(spark, sf)
+            )
+            chk = IU.check_invariants(assigned, src)
+            rows = chk.collect()
+            assert rows  # every point falls in ≥1 admin area by design
+            assert all(r.pixels_ok and r.caption_ok for r in rows)
+            # bytes differ → the REAL decode path ran: PSNR finite
+            assert all(40.0 <= r.psnr_db < 999.0 for r in rows)
+            g = IU.invariant_gate_summary(chk).collect()[0]
+            assert (
+                g.n_pixel_violations == 0
+                and g.n_caption_violations == 0
+                and g.psnr_gate_ok
+            )
+        finally:
+            codec._ENCODERS.clear()
+            codec._ENCODERS.update(saved_enc)
+            codec._DECODERS[:] = saved_dec
+
     def test_golden_fixture_through_registered_engine(self, spark):
         """A genuine libjpeg file flows through the registered engine path:
         sniffed as jpeg, decoded in a Spark worker, dims verified."""
