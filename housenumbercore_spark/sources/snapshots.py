@@ -159,6 +159,7 @@ def snapshot_write(
     partition_cols: list[str] | None = None,
     mode: str = "append",
     replaced_partitions: list[tuple] | None = None,
+    operation: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table``; returns the version.
 
@@ -263,7 +264,7 @@ def snapshot_write(
     manifest = {
         "version": version,
         "parent": parent,
-        "operation": mode,
+        "operation": operation or mode,
         "partition_cols": partition_cols,
         "entries": entries,
         "schema": df.schema.jsonValue(),
@@ -431,6 +432,26 @@ def merge_upsert_snapshot_table(
         partition_cols,
         mode="overwrite_partitions",
         replaced_partitions=touched_vals,
+    )
+
+
+def compact(spark: SparkSession, table: str) -> int:
+    """Rewrite the CURRENT snapshot's file set into one fresh data dir and
+    commit it as an ``overwrite`` (Iceberg's ``rewrite_data_files``): the
+    per-entry union in :func:`read_snapshot` collapses back to a single
+    scan. Pure data reorganization — row contents identical (the commit
+    is made from a pinned read of the current version, so even a
+    concurrent reader is unaffected), history preserved, old dirs
+    reclaimed by the next :func:`vacuum`.
+
+    Scale note: each append/merge widens the read plan by one scan; run
+    this whenever the entry count crosses the tens — the rewrite cost is
+    one full-table pass, the same job a first write costs."""
+    snap = load_snapshot(spark, table, current_version(spark, table))
+    pinned = read_snapshot(spark, table)
+    return snapshot_write(
+        pinned, table, snap["partition_cols"], mode="overwrite",
+        operation="compact",
     )
 
 

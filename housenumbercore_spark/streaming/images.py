@@ -164,3 +164,66 @@ def run_image_gate(
         "accepted_total": read_gated(spark, out_dir, "accepted").count(),
         "rejected_total": read_gated(spark, out_dir, "rejected").count(),
     }
+
+
+def run_image_gate_snapshot(
+    spark: SparkSession,
+    src_dir: str,
+    out_table: str,
+    checkpoint_dir: str,
+) -> dict:
+    """:func:`run_image_gate` with the SNAPSHOT-table sink
+    (sources/snapshots.py): each micro-batch commits atomically as one
+    append whose manifest operation records the batch id — so downstream
+    readers never observe a torn batch (the per-directory sink exposes a
+    batch's files the moment they land; here nothing is visible until the
+    pointer flip), and replays are idempotent at the COMMIT level: a
+    batch id already in the table's history is skipped outright, and a
+    crash between data write and pointer flip leaves only an orphaned
+    (invisible) data dir that :func:`snapshots.vacuum` reclaims.
+
+    Accepted and rejected rows land in ONE table with the ``gate_ok``
+    flag and ``batch_id`` column (filter on read); every version is
+    time-travelable, giving the stream a complete audit trail."""
+    from ..sources import snapshots as SN
+
+    gated = image_stream(spark, src_dir)
+
+    def committed_batches() -> set[int]:
+        cur = SN.current_version(spark, out_table)
+        if cur is None:
+            return set()
+        ops = {
+            SN.load_snapshot(spark, out_table, v)["operation"]
+            for v in range(1, cur + 1)
+        }
+        return {
+            int(op.rsplit("_", 1)[1])
+            for op in ops
+            if op.startswith("stream_batch_")
+        }
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in committed_batches():
+            return  # replay of an already-committed batch: exactly-once
+        SN.snapshot_write(
+            batch_df.withColumn("batch_id", F.lit(int(batch_id))),
+            out_table,
+            operation=f"stream_batch_{int(batch_id)}",
+        )
+
+    q = (
+        gated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        cur = SN.read_snapshot(spark, out_table)
+        return {
+            "accepted_total": cur.filter(F.col("gate_ok")).count(),
+            "rejected_total": cur.filter(~F.col("gate_ok")).count(),
+        }
+    except FileNotFoundError:  # zero input files → no batch committed
+        return {"accepted_total": 0, "rejected_total": 0}

@@ -131,6 +131,25 @@ class TestHistoryRollbackVacuum:
         assert len(removed) == 2  # v1's and v2's dirs now unreferenced
         assert SN.read_snapshot(spark, table).count() == 1  # current intact
 
+    def test_compact_collapses_entries(self, spark, table):
+        """Many appends widen the read plan by one scan each; compact()
+        rewrites the current file set into ONE entry with identical rows,
+        and vacuum then reclaims the fragments."""
+        for k in range(3):
+            SN.snapshot_write(
+                _df(spark, [(100 + k, k % 4, f"a{k}")]), table, ["bucket"]
+            )
+        before = SN.read_snapshot(spark, table)
+        assert len(SN.load_snapshot(spark, table, 4)["entries"]) == 4
+        v = SN.compact(spark, table)
+        snap = SN.load_snapshot(spark, table, v)
+        assert len(snap["entries"]) == 1 and snap["operation"] == "compact"
+        after = SN.read_snapshot(spark, table)
+        assert sorted(map(tuple, after.collect())) == sorted(
+            map(tuple, before.collect())
+        )
+        assert len(SN.vacuum(spark, table, keep_last=1)) == 4
+
     def test_partition_cols_mismatch_rejected(self, spark, table):
         with pytest.raises(ValueError, match="partition_cols"):
             SN.snapshot_write(

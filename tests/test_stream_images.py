@@ -106,3 +106,74 @@ def test_restart_processes_only_new_files(spark, tmp_path):
     acc = spark.read.parquet(f"{out}/accepted")
     assert acc.select("image_id").distinct().count() == 35
     assert acc.count() == 35  # exactly-once: no file replayed
+
+
+def test_snapshot_sink_gate_basic_and_audit_trail(spark, tmp_path):
+    """The snapshot-table sink: gated rows land in ONE versioned table
+    (gate_ok flag), each batch is an atomic commit whose operation records
+    the batch id, and every intermediate version stays time-travelable."""
+    from housenumbercore_spark.sources import snapshots as SN
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, 0, 30, corrupt_every=10)  # ids 0,10,20 bad
+
+    res = SI.run_image_gate_snapshot(spark, src, tbl, ckpt)
+    assert res == {"accepted_total": 27, "rejected_total": 3}
+    ops = [r.operation
+           for r in SN.snapshot_history(spark, tbl).collect()]
+    assert ops and all(op.startswith("stream_batch_") for op in ops)
+    cur = SN.read_snapshot(spark, tbl)
+    assert cur.count() == 30
+    assert "batch_id" in cur.columns and "gate_ok" in cur.columns
+
+
+def test_snapshot_sink_crash_replay_commit_level_exactly_once(
+    spark, tmp_path
+):
+    """Crash BETWEEN data write and pointer flip leaves an orphaned,
+    INVISIBLE data dir (readers never saw a torn batch); the replay
+    re-commits the batch once, a second drain with the same checkpoint
+    re-delivers nothing, and an already-committed batch id is skipped on
+    replay even if the streaming checkpoint lost the commit."""
+    from housenumbercore_spark.sources import snapshots as SN
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    _write_batch(spark, src, 0, 12)
+
+    # crashed first attempt: data dir written, pointer never flipped
+    gated_like = IMG.images_df(spark, 5).withColumn(
+        "gate_ok", F.lit(True)
+    ).withColumn("batch_id", F.lit(0))
+    import uuid as _uuid
+
+    orphan = f"{tbl}/data/{_uuid.uuid4().hex}"
+    gated_like.write.parquet(orphan)
+    assert SN.current_version(spark, tbl) is None  # invisible to readers
+
+    res = SI.run_image_gate_snapshot(spark, src, tbl, str(tmp_path / "c1"))
+    assert res["accepted_total"] == 12
+    assert SN.read_snapshot(spark, tbl).count() == 12  # no torn/dup rows
+    # the orphan is reclaimable, the committed dirs survive
+    removed = SN.vacuum(spark, tbl, keep_last=10)
+    assert any(orphan.endswith(r.split("/")[-1]) for r in removed)
+    assert SN.read_snapshot(spark, tbl).count() == 12
+
+    # lost-streaming-commit replay: fresh checkpoint redelivers the same
+    # input as batch 0 — the recorded stream_batch_0 operation skips it
+    res2 = SI.run_image_gate_snapshot(spark, src, tbl, str(tmp_path / "c2"))
+    assert res2["accepted_total"] == 12
+    assert SN.read_snapshot(spark, tbl).count() == 12
+
+
+def test_snapshot_sink_empty_source(spark, tmp_path):
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    res = SI.run_image_gate_snapshot(
+        spark, src, str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    )
+    assert res == {"accepted_total": 0, "rejected_total": 0}
