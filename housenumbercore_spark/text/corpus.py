@@ -55,6 +55,10 @@ def prepare_corpus(
     from . import analysis as TA
     from . import dedup as TD
 
+    # Column.isin unpacks a LIST but treats a TUPLE as one (unsupported)
+    # array literal — normalize so callers can pass any iterable
+    languages = list(languages) if languages else None
+
     # one narrow pass attaches both scores (keep_cols pass-through) —
     # joining projections of docs back to docs would shuffle the full
     # text twice for what is a map-only computation

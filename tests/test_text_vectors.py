@@ -548,6 +548,22 @@ def test_prepare_corpus_materialized_once_and_keep_cols(spark):
     assert rep["neardup_keep_one"][1] == kept.count()
 
 
+def test_prepare_corpus_accepts_tuple_languages(spark):
+    """Column.isin unpacks a list but treats a TUPLE as one unsupported
+    array literal — prepare_corpus must normalize any iterable (the
+    engine's own CORPUS_LANGS constant is a tuple)."""
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import corpus as C
+
+    docs = P.documents_df(spark, SF)
+    kept_t, rep_t = C.prepare_corpus(docs, languages=("en", "de"))
+    kept_l, rep_l = C.prepare_corpus(docs, languages=["en", "de"])
+    assert kept_t.count() == kept_l.count()
+    assert sorted(map(tuple, rep_t.collect())) == sorted(
+        map(tuple, rep_l.collect())
+    )
+
+
 def test_kmeans_centroids_deterministic_and_exact_at_full_probe(spark):
     """The trained coarse quantizer is reproducible across partitionings
     (hash-ordered sample, no RNG) and, like every centroid set, exact when
