@@ -1113,6 +1113,99 @@ SELECT 'aud' || lpad(CAST(i AS VARCHAR), 8, '0') AS audio_id,
 FROM range({N_AUDIO}) t(i)"""
 
 
+# Image-dedup driver queries run on the same 2000-row table as the
+# invariant gate (__spark_entry__.N_IMAGES) so the /tmp parquet cache is
+# shared across all image queries.
+N_IMG_DEDUP = 2000
+PHASH_NEARDUP_MAX_HAMMING = 10
+
+
+def image_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical image dedup over a simulated double-crawl: the image
+    table unioned with a re-ingested copy (identical bytes, new crawl ids).
+    Every content group must collapse to the original id with 2 copies —
+    the engine earns this by grouping on the md5-split content fingerprint
+    (images/dedup.py exact_dedup; bytes never shuffle)."""
+    from .images import dedup as D
+    from .sources import images as IMG
+
+    src = IMG.images_table(spark, N_IMG_DEDUP).select("image_id", "bytes")
+    recrawl = src.withColumn("image_id", F.concat("image_id", F.lit("~re")))
+    return D.exact_dedup(src.unionByName(recrawl))
+
+
+def image_dedup_exact_sql() -> str:
+    return (
+        "SELECT 'img' || lpad(CAST(i AS VARCHAR), 10, '0') AS "
+        "canonical_image_id, CAST(2 AS BIGINT) AS n_copies "
+        f"FROM range({N_IMG_DEDUP}) t(i)"
+    )
+
+
+def image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-caption dedup: after stripping the per-crawl
+    ``photo NNNNNNNN:`` prefix, captions repeat with the generator's
+    CAPTION_PERIOD — the engine must find exactly those groups by grouping
+    the normalized strings (images/dedup.py caption_dedup)."""
+    from .images import dedup as D
+    from .sources import images as IMG
+
+    src = IMG.images_table(spark, N_IMG_DEDUP).select("image_id", "caption")
+    norm = F.regexp_replace("caption", r"^photo \d+: ", "")
+    return D.caption_dedup(src, caption_col=norm)
+
+
+def image_caption_dedup_sql() -> str:
+    from .sources.images import CAPTION_PERIOD, CAPTION_SUBJECTS, CAPTION_TOWNS
+
+    subj = "[" + ", ".join(f"'{s}'" for s in CAPTION_SUBJECTS) + "]"
+    town = "[" + ", ".join(f"'{t}'" for t in CAPTION_TOWNS) + "]"
+    n, p = N_IMG_DEDUP, CAPTION_PERIOD
+    big, small = n // p + 1, n // p  # residues below n % p get one extra
+    return f"""
+SELECT 'a ' || ({subj})[(r % {len(CAPTION_SUBJECTS)}) + 1] || ' in ' ||
+       ({town})[(r % {len(CAPTION_TOWNS)}) + 1] ||
+       ' with housenumber ' || CAST(1 + r AS VARCHAR) AS caption_norm,
+       'img' || lpad(CAST(r AS VARCHAR), 10, '0') AS canonical_image_id,
+       CAST(CASE WHEN r < {n % p} THEN {big} ELSE {small} END AS BIGINT)
+         AS n_copies
+FROM range({p}) t(r)"""
+
+
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the stored 64-bit phash column
+    via banded LSH + exact Hamming refine (images/dedup.py
+    phash_neardup_pairs). The oracle replays the identical banding on
+    phashes recomputed driver-side from the pure generator kernel."""
+    from .images import dedup as D
+    from .sources import images as IMG
+
+    src = IMG.images_table(spark, N_IMG_DEDUP).select("image_id", "phash")
+    return D.phash_neardup_pairs(
+        src, max_hamming=PHASH_NEARDUP_MAX_HAMMING
+    )
+
+
+def image_phash_neardup_sql() -> str:
+    from .images.dedup import PHASH_BAND_BITS, PHASH_BANDS
+    from .sources.images import images_phash_sql
+
+    bb = PHASH_BAND_BITS
+    mask = (1 << bb) - 1
+    return f"""
+WITH ph AS (SELECT image_id, phash FROM {images_phash_sql(N_IMG_DEDUP)} s),
+bands AS (
+  SELECT image_id, phash, j AS band, (phash >> (j * {bb})) & {mask} AS bucket
+  FROM ph CROSS JOIN (
+    SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS j) g)
+SELECT img_a, img_b, hamming FROM (
+  SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.image_id < b.image_id) t
+WHERE hamming <= {PHASH_NEARDUP_MAX_HAMMING}"""
+
+
 def image_resize_stats_sql() -> str:
     """The resize gate's expected aggregate: every one of the N_MM_IMAGES
     rows must come back with the target dims and a byte-equal caption. The

@@ -61,20 +61,55 @@ def make_pixels(i: int) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
+CAPTION_SUBJECTS = ["house", "street", "square", "bridge", "tower", "garden"]
+CAPTION_TOWNS = ["Aachen", "Eschweiler", "Stolberg", "Alsdorf", "Herzogenrath"]
+# caption text below the "photo NNNNNNNN: " prefix repeats with this period
+# (lcm of the three mixing moduli: 6 | 180, 5 | 180, 180)
+CAPTION_PERIOD = 180
+
+
 def make_caption(i: int) -> str:
-    subjects = ["house", "street", "square", "bridge", "tower", "garden"]
-    towns = ["Aachen", "Eschweiler", "Stolberg", "Alsdorf", "Herzogenrath"]
+    subjects = CAPTION_SUBJECTS
+    towns = CAPTION_TOWNS
     return (
         f"photo {i:08d}: a {subjects[i % len(subjects)]} in "
         f"{towns[i % len(towns)]} with housenumber {1 + i % 180}"
     )
 
 
-def _row_for(i: int) -> tuple:
+def _encode_decode(i: int) -> tuple[str, bytes, np.ndarray]:
+    """(fmt, stored bytes, decoded pixels) for id ``i`` — the single
+    definition of the stored payload, shared by the distributed generator
+    and the driver-side oracle helpers so they can never diverge."""
     px = make_pixels(i)
     fmt = "png" if i % 2 == 0 else "jpgq"
     buf = codec.encode_image(px, fmt)
-    decoded = codec.decode_image(buf)
+    return fmt, buf, codec.decode_image(buf)
+
+
+def phash_for(i: int) -> int:
+    """The stored ``phash`` column value for id ``i``, recomputed without
+    Spark (pure numpy) — lets DuckDB oracles inline the real phashes."""
+    _, _, decoded = _encode_decode(i)
+    return codec.phash64(decoded)
+
+
+def images_phash_sql(n: int) -> str:
+    """DuckDB subquery of the image table's (image_id, phash) columns as an
+    inlined VALUES list, recomputed generator-side (deterministic — the
+    pixels, the codec round-trip and the DCT hash are all pure functions of
+    the id). phash is not SQL-expressible, so this is the honest way to
+    oracle distributed phash operators: the VALUES come from an independent
+    single-threaded rerun of the same pure kernel, and the SQL replays the
+    banding/join/refine logic on them."""
+    rows = ", ".join(
+        f"('img{i:010d}', CAST({phash_for(i)} AS BIGINT))" for i in range(n)
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(image_id, phash))"
+
+
+def _row_for(i: int) -> tuple:
+    fmt, buf, decoded = _encode_decode(i)
     ph = codec.phash64(decoded)
     # lon/lat: same deterministic mixing + hot cluster as synthetic points
     u = ((i * S._MIX_A) % S._MOD + 0.5) / S._MOD
