@@ -6,12 +6,20 @@ a from-scratch implementation of the PUBLIC baseline-sequential JPEG
 standard (ITU-T T.81, Annex F/K; JFIF 1.02), matching the reference's use
 of real lossy JPEG payloads for the image+caption table.
 
-Decoder (:func:`decode_jpeg`) — baseline sequential DCT:
-  SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOS/RSTn/EOI; 8- and 16-bit quant
-  tables; arbitrary per-component sampling factors (4:4:4, 4:2:2, 4:2:0 …)
-  with replication upsampling; restart-interval resync; grayscale and
-  3-component YCbCr. Progressive (SOF2) and arithmetic-coded streams raise
-  ValueError — the registry then falls through to other sniffers.
+Decoder (:func:`decode_jpeg`) — sequential (SOF0/1) AND progressive
+  (SOF2) Huffman DCT: SOI/APPn/COM/DQT/DHT/DRI/SOS/RSTn/EOI; 8- and
+  16-bit quant tables; arbitrary per-component sampling factors (4:4:4,
+  4:2:2, 4:2:0 …) with replication upsampling; restart-interval resync;
+  multi-scan accumulation in the quantized-coefficient domain with
+  spectral selection, successive approximation (DC+AC first/refinement
+  scans, EOB-run batching) and non-interleaved component geometry;
+  grayscale and 3-component YCbCr. Arithmetic-coded / lossless /
+  hierarchical streams raise ValueError. :func:`transcode_progressive`
+  re-emits any decodable stream as progressive with identical quantized
+  coefficients — the verification lever for the progressive paths
+  (tests/test_jpeg_progressive.py proves decode(transcode(x)) ==
+  decode(x) bit-for-bit, incl. 4:2:0 and restart) alongside pinned
+  real-encoder progressive fixtures.
 
 Encoder (:func:`encode_jpeg`) — baseline sequential, 4:4:4, Annex K
   quantization tables scaled by the libjpeg quality formula, Annex K
@@ -377,8 +385,10 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _split_entropy(buf: bytes, pos: int) -> list[bytearray]:
-    """Entropy-coded bytes from ``pos``, unstuffed, split at RSTn markers."""
+def _split_entropy(buf: bytes, pos: int) -> tuple[list[bytearray], int]:
+    """Entropy-coded bytes from ``pos``, unstuffed, split at RSTn markers.
+    Returns (segments, index of the first byte after the scan) so a
+    multi-scan (progressive) stream can continue parsing."""
     segs = [bytearray()]
     n = len(buf)
     i = pos
@@ -397,11 +407,175 @@ def _split_entropy(buf: bytes, pos: int) -> list[bytearray]:
             i += 2
         else:  # real marker (EOI / next segment) ends the scan
             break
-    return segs
+    return segs, i
 
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JFIF/EXIF bytes → (h, w, 3) uint8 RGB."""
+def _ac_first(bits, ac_tab, zz, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Decode one block's AC band in a first (Ah=0) scan; sequential scans
+    are the ss=1, se=63, al=0 special case. Returns the remaining EOB run
+    (T.81 G.1.2.2: an EOBn symbol ends this block and the next
+    ``(1<<r)-1+extra`` blocks' bands in one code)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_next(bits, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) - 1 + (bits.read(r) if r else 0)
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun")
+        zz[k] = _extend(bits.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(bits, ac_tab, zz, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Decode one block's AC band in a refinement (Ah>0) scan (T.81
+    G.1.2.3): already-nonzero coefficients receive a correction bit as the
+    scan walks past them; newly-nonzero ones arrive as (run, 1) symbols
+    with an explicit sign bit (1 = positive). The two's-complement
+    ``zz[k] & p1`` test equals the magnitude-bit test because every history
+    value at this point is a multiple of ``1 << al``."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_next(bits, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: current block tail handled below
+                    eobrun = (1 << r) + (bits.read(r) if r else 0)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude size")
+                val = p1 if bits.bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    if bits.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0 and bits.bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_block(
+    bits, zz, dc_tab, ac_tab, ss, se, ah, al, pred, ck, eobrun
+) -> int:
+    """Decode one block's contribution for the current scan into the
+    quantized-coefficient row ``zz`` (zigzag order)."""
+    if ss == 0:
+        if ah == 0:  # DC first: diff-coded at scale 2^al
+            size = _huff_next(bits, dc_tab)
+            pred[ck] += _extend(bits.read(size), size)
+            zz[0] = pred[ck] << al
+        else:  # DC refinement: append one value-domain bit (floor semantics)
+            if bits.bit():
+                zz[0] |= 1 << al
+        if se == 0:
+            return eobrun
+        return _ac_first(bits, ac_tab, zz, 1, se, al, eobrun)
+    if ah == 0:
+        return _ac_first(bits, ac_tab, zz, ss, se, al, eobrun)
+    return _ac_refine(bits, ac_tab, zz, ss, se, al, eobrun)
+
+
+def _comp_block_dims(c: dict, w: int, h: int, max_h: int, max_v: int) -> tuple[int, int]:
+    """(block rows, block cols) of one component in a NON-interleaved scan
+    (T.81 A.2.2: ceil over the component's own sample dims, not the
+    MCU-padded dims — they differ whenever w*h_i/max_h crosses an 8-sample
+    boundary short of the MCU grid)."""
+    cw = -(-(w * c["h"]) // max_h)
+    ch = -(-(h * c["v"]) // max_v)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _scan_units(scan, comps, w, h, max_h, max_v, mcux, mcuy):
+    """Iterate the scan's restart-countable units in coding order. Each
+    unit is a tuple of (comp index, block row, block col): one block for a
+    non-interleaved (single-component) scan, one full MCU otherwise."""
+    if len(scan) == 1:
+        ck = scan[0][0]
+        bh, bw = _comp_block_dims(comps[ck], w, h, max_h, max_v)
+        for by in range(bh):
+            for bx in range(bw):
+                yield ((ck, by, bx),)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ck, _dc, _ac in scan:
+                    c = comps[ck]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            unit.append((ck, my * c["v"] + vy, mx * c["h"] + vx))
+                yield tuple(unit)
+
+
+def _decode_scan(
+    buf, pos, scan, comps, coefs, huff, ss, se, ah, al,
+    restart_interval, w, h, max_h, max_v, mcux, mcuy,
+) -> int:
+    """Decode one SOS's entropy data into ``coefs``; returns the stream
+    index just past the scan."""
+    segs, end = _split_entropy(buf, pos)
+    tabs = {}
+    for ck, dc_id, ac_id in scan:
+        dc_tab = huff.get((0, dc_id))
+        ac_tab = huff.get((1, ac_id))
+        if ss == 0 and ah == 0 and dc_tab is None:
+            raise ValueError("missing DC Huffman table")
+        if se > 0 and ac_tab is None:
+            raise ValueError("missing AC Huffman table")
+        tabs[ck] = (dc_tab, ac_tab)
+    seg_idx = 0
+    bits = _Bits(segs[0])
+    pred = [0] * len(comps)
+    eobrun = 0
+    cnt = 0
+    for unit in _scan_units(scan, comps, w, h, max_h, max_v, mcux, mcuy):
+        if restart_interval and cnt and cnt % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment in entropy stream")
+            bits = _Bits(segs[seg_idx])
+            pred = [0] * len(comps)
+            eobrun = 0
+        for ck, by, bx in unit:
+            dc_tab, ac_tab = tabs[ck]
+            eobrun = _decode_block(
+                bits, coefs[ck][by, bx], dc_tab, ac_tab, ss, se, ah, al,
+                pred, ck, eobrun,
+            )
+        cnt += 1
+    return end
+
+
+def _decode_to_coefficients(buf: bytes):
+    """Parse a sequential (SOF0/1) or progressive (SOF2) stream, decoding
+    EVERY scan into per-component quantized-coefficient arrays (zigzag
+    order, shape (block rows, block cols, 64), padded to the MCU grid).
+    Returns (coefs, meta) where meta carries everything reconstruction or
+    transcoding needs."""
     buf = bytes(buf)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -410,10 +584,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
-    scan: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    max_h = max_v = mcux = mcuy = 0
+    saw_scan = False
     i = 2
     n = len(buf)
-    entropy_start = -1
     while i < n - 1:
         if buf[i] != 0xFF:
             i += 1
@@ -447,7 +623,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(seg[j + 17 : j + 17 + cnt])
                 huff[(tc, th)] = _huff_decode_map(bits, vals)
                 j += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-extended) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive DCT
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -455,83 +632,67 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            max_h = max(c["h"] for c in comps)
+            max_v = max(c["v"] for c in comps)
+            mcux = (w + 8 * max_h - 1) // (8 * max_h)
+            mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG coding (SOF{marker - 0xC0}): baseline sequential only"
+                f"unsupported JPEG coding (SOF{marker - 0xC0}): "
+                "sequential and progressive Huffman DCT only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS — decode the scan, keep parsing after it
+            if coefs is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             by_id = {c["id"]: k for k, c in enumerate(comps)}
             scan = []
             for c in range(ns):
                 cid, tb = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((by_id[cid], tb >> 4, tb & 0x0F))
-            entropy_start = i + 2 + L
-            break
+            ss, se, ah_al = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if not progressive:
+                ss, se, ah_al = 0, 63, 0  # baseline SOS fields are fixed
+            i = _decode_scan(
+                buf, i + 2 + L, scan, comps, coefs, huff, ss, se,
+                ah_al >> 4, ah_al & 0x0F, restart_interval,
+                w, h, max_h, max_v, mcux, mcuy,
+            )
+            saw_scan = True
+            continue
         i += 2 + L
-    if entropy_start < 0 or not comps:
+    if coefs is None or not saw_scan:
         raise ValueError("no SOS/SOF in JPEG stream")
+    meta = {
+        "comps": comps, "qt": qt, "h": h, "w": w,
+        "max_h": max_h, "max_v": max_v, "mcux": mcux, "mcuy": mcuy,
+        "progressive": progressive,
+    }
+    return coefs, meta
 
-    max_h = max(c["h"] for c in comps)
-    max_v = max(c["v"] for c in comps)
-    mcux = (w + 8 * max_h - 1) // (8 * max_h)
-    mcuy = (h + 8 * max_v - 1) // (8 * max_v)
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    ]
 
-    segs = _split_entropy(buf, entropy_start)
-    seg_idx = 0
-    bits = _Bits(segs[0])
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segs):
-                    raise ValueError("missing restart segment in entropy stream")
-                bits = _Bits(segs[seg_idx])
-                pred = [0] * len(comps)
-            for ck, dc_id, ac_id in scan:
-                c = comps[ck]
-                dq = qt[c["tq"]]
-                dc_tab = huff[(0, dc_id)]
-                ac_tab = huff[(1, ac_id)]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _huff_next(bits, dc_tab)
-                        pred[ck] += _extend(bits.read(size), size)
-                        zz[0] = pred[ck]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_next(bits, ac_tab)
-                            run, size = sym >> 4, sym & 0x0F
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(bits.read(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = (zz * dq).astype(np.float64)
-                        blk = _DCT8.T @ coef.reshape(8, 8) @ _DCT8 + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ck][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu_count += 1
-
+def _reconstruct(coefs: list[np.ndarray], meta: dict) -> np.ndarray:
+    """Quantized coefficients → (h, w, 3) uint8 RGB: vectorized
+    dequantize + IDCT over all blocks, replication upsampling, YCbCr."""
+    comps, qt = meta["comps"], meta["qt"]
+    h, w, max_h, max_v = meta["h"], meta["w"], meta["max_h"], meta["max_v"]
     full = []
     for ck, c in enumerate(comps):
-        p = planes[ck]
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        zz = coefs[ck] * qt[c["tq"]]
+        nat = np.zeros(zz.shape, dtype=np.float64)
+        nat[..., ZIGZAG] = zz
+        bh, bw = nat.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        sp = np.einsum("ji,yxjk,kl->yxil", _DCT8, blocks, _DCT8) + 128.0
+        p = sp.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if c["h"] != max_h or c["v"] != max_v:
             p = np.repeat(np.repeat(p, max_v // c["v"], axis=0), max_h // c["h"], axis=1)
         full.append(p[:h, :w])
@@ -550,6 +711,220 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     else:
         raise ValueError(f"unsupported component count {len(full)} (CMYK?)")
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Sequential (SOF0/1) or progressive (SOF2) JFIF/EXIF bytes →
+    (h, w, 3) uint8 RGB."""
+    coefs, meta = _decode_to_coefficients(buf)
+    return _reconstruct(coefs, meta)
+
+
+# ---------------------------------------------------------------------------
+# baseline → progressive transcoder
+# ---------------------------------------------------------------------------
+#
+# Re-encodes any decodable JPEG's quantized coefficients as a progressive
+# (SOF2) stream with spectral selection AND successive approximation. Its
+# purpose is verification: transcoding is lossless in the coefficient
+# domain, so decode(transcode(x)) must equal decode(x) BIT FOR BIT — which
+# proves the progressive decode paths (interleaved DC first/refine at
+# Al>0, per-band AC first, AC refinement correction bits, ZRL-in-
+# refinement, restart resync) against the already-libjpeg-proven baseline
+# decoder. EOB runs are not batched (every block ends its band with EOB0),
+# which keeps the Annex-K Huffman tables sufficient; the EOBn>0 decode
+# path is exercised by real libjpeg progressive fixtures instead.
+
+
+def _enc_ac_first_block(bwr, ac_codes, tvals, ss: int, se: int) -> None:
+    """Emit one block's AC band (values already scaled to the scan's
+    approximation) — baseline RLE with ZRL, EOB0 terminator."""
+    nz = [k for k in range(ss, se + 1) if tvals[k]]
+    last = nz[-1] if nz else ss - 1
+    run = 0
+    for k in range(ss, last + 1):
+        v = tvals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bwr.write(*ac_codes[0xF0])
+            run -= 16
+        size, bits_ = _magnitude(v)
+        bwr.write(*ac_codes[(run << 4) | size])
+        bwr.write(bits_, size)
+        run = 0
+    if last < se:
+        bwr.write(*ac_codes[0x00])
+
+
+def _enc_ac_refine_block(bwr, ac_codes, zz, ss: int, se: int, al: int) -> None:
+    """Emit one block's AC refinement (Ah = al+1 → Al = al), mirroring the
+    decoder's walk exactly: correction bits for nonzero-history positions
+    ride behind the next emitted symbol, in positional order."""
+    hist = [
+        (1 if v > 0 else -1) * ((abs(v) >> (al + 1)) << (al + 1))
+        for v in (int(zz[k]) for k in range(64))
+    ]
+    c = ss
+    while c <= se:
+        corr: list[int] = []
+        zh = 0
+        j = c
+        new_pos = -1
+        while j <= se:
+            v = int(zz[j])
+            if hist[j] != 0:
+                corr.append((abs(v) >> al) & 1)
+                j += 1
+                continue
+            if v != 0:  # newly nonzero: |v| must be exactly 1<<al
+                if abs(v) >> al != 1:
+                    raise ValueError("coefficient not representable at Al")
+                new_pos = j
+                break
+            if zh == 15:  # 16th zero-history slot → ZRL boundary
+                break
+            zh += 1
+            j += 1
+        if new_pos >= 0:
+            bwr.write(*ac_codes[(zh << 4) | 1])
+            bwr.write(1 if int(zz[new_pos]) > 0 else 0, 1)
+            for b in corr:
+                bwr.write(b, 1)
+            c = new_pos + 1
+        elif j <= se:  # ZRL
+            bwr.write(*ac_codes[0xF0])
+            for b in corr:
+                bwr.write(b, 1)
+            c = j + 1
+        else:  # band tail: EOB0 + correction bits the decoder's tail reads
+            bwr.write(*ac_codes[0x00])
+            for b in corr:
+                bwr.write(b, 1)
+            return
+
+
+class _ScanWriter:
+    """Accumulates one scan's entropy bytes with restart handling."""
+
+    def __init__(self, restart_interval: int, ncomps: int) -> None:
+        self.bwr = _BitWriter()
+        self.ri = restart_interval
+        self.ncomps = ncomps
+        self.pred = [0] * ncomps
+        self.cnt = 0
+        self.rst = 0
+
+    def unit_boundary(self) -> None:
+        if self.ri and self.cnt and self.cnt % self.ri == 0:
+            self.bwr.flush()
+            self.bwr.out += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) % 8
+            self.pred = [0] * self.ncomps
+        self.cnt += 1
+
+    def finish(self) -> bytes:
+        self.bwr.flush()
+        return bytes(self.bwr.out)
+
+
+def transcode_progressive(buf: bytes, restart_interval: int = 0) -> bytes:
+    """Any decodable JPEG → progressive (SOF2) bytes with IDENTICAL
+    quantized coefficients. Scan script: interleaved DC first (Al=1),
+    per-component AC bands 1-5 and 6-63 first (Al=1), interleaved DC
+    refine, per-component AC refine (Ah=1 → Al=0)."""
+    coefs, meta = _decode_to_coefficients(buf)
+    comps, qt = meta["comps"], meta["qt"]
+    w, h = meta["w"], meta["h"]
+    max_h, max_v, mcux, mcuy = (
+        meta["max_h"], meta["max_v"], meta["mcux"], meta["mcuy"]
+    )
+    nc = len(comps)
+    dc_codes = [_huff_codes(*(DC_LUMA_SPEC if k == 0 else DC_CHROMA_SPEC)) for k in range(2)]
+    ac_codes = [_huff_codes(*(AC_LUMA_SPEC if k == 0 else AC_CHROMA_SPEC)) for k in range(2)]
+    tid = [0 if ck == 0 else 1 for ck in range(nc)]
+
+    out = bytearray(b"\xff\xd8")
+    for q_id in sorted({c["tq"] for c in comps}):
+        zzq = qt[q_id]
+        if zzq.max() <= 255:
+            out += _seg(0xDB, bytes([q_id]) + bytes(int(v) for v in zzq))
+        else:
+            out += _seg(
+                0xDB,
+                bytes([0x10 | q_id])
+                + b"".join(struct.pack(">H", int(v)) for v in zzq),
+            )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, _dht_payload(0x00, DC_LUMA_SPEC))
+    out += _seg(0xC4, _dht_payload(0x10, AC_LUMA_SPEC))
+    if nc > 1:
+        out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_SPEC))
+        out += _seg(0xC4, _dht_payload(0x11, AC_CHROMA_SPEC))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos(scan_comps: list[tuple[int, int, int]], ss, se, ah, al, body: bytes):
+        hdr = bytes([len(scan_comps)])
+        for ck, dct, act in scan_comps:
+            hdr += bytes([comps[ck]["id"], (dct << 4) | act])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, hdr) + body
+
+    all_comps = [(ck, tid[ck], tid[ck]) for ck in range(nc)]
+    units_interleaved = list(
+        _scan_units([(ck, 0, 0) for ck in range(nc)], comps, w, h, max_h, max_v, mcux, mcuy)
+    )
+
+    # scan 1: DC first, interleaved, Al=1 (diffs of the floor-halved DC)
+    sw = _ScanWriter(restart_interval, nc)
+    for unit in units_interleaved:
+        sw.unit_boundary()
+        for ck, by, bx in unit:
+            v = int(coefs[ck][by, bx, 0]) >> 1
+            diff = v - sw.pred[ck]
+            sw.pred[ck] = v
+            size, bits_ = _magnitude(diff)
+            sw.bwr.write(*dc_codes[tid[ck]][size])
+            sw.bwr.write(bits_, size)
+    out += sos(all_comps, 0, 0, 0, 1, sw.finish())
+
+    # scans 2..: AC first per component, bands 1-5 then 6-63, Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        for ck in range(nc):
+            sw = _ScanWriter(restart_interval, nc)
+            for unit in _scan_units([(ck, 0, 0)], comps, w, h, max_h, max_v, mcux, mcuy):
+                sw.unit_boundary()
+                _ck, by, bx = unit[0]
+                zz = coefs[ck][by, bx]
+                tvals = [
+                    (1 if int(v) > 0 else -1) * (abs(int(v)) >> 1) for v in zz
+                ]
+                _enc_ac_first_block(sw.bwr, ac_codes[tid[ck]], tvals, ss, se)
+            out += sos([(ck, 0, tid[ck])], ss, se, 0, 1, sw.finish())
+
+    # DC refine, interleaved, Ah=1 → Al=0 (raw value-domain bits)
+    sw = _ScanWriter(restart_interval, nc)
+    for unit in units_interleaved:
+        sw.unit_boundary()
+        for ck, by, bx in unit:
+            sw.bwr.write(int(coefs[ck][by, bx, 0]) & 1, 1)
+    out += sos(all_comps, 0, 0, 1, 0, sw.finish())
+
+    # AC refine per component, full band, Ah=1 → Al=0
+    for ck in range(nc):
+        sw = _ScanWriter(restart_interval, nc)
+        for unit in _scan_units([(ck, 0, 0)], comps, w, h, max_h, max_v, mcux, mcuy):
+            sw.unit_boundary()
+            _ck, by, bx = unit[0]
+            _enc_ac_refine_block(sw.bwr, ac_codes[tid[ck]], coefs[ck][by, bx], 1, 63, 0)
+        out += sos([(ck, 0, tid[ck])], 1, 63, 1, 0, sw.finish())
+
+    return bytes(out + b"\xff\xd9")
 
 
 # ---------------------------------------------------------------------------

@@ -142,10 +142,12 @@ class TestGoldenLibjpegFixtures:
         # the IPython fixture is a neutral gray patch
         assert (im == 128).all()
 
-    def test_progressive_rejected(self):
-        sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9)
-        with pytest.raises(ValueError, match="baseline"):
-            J.decode_jpeg(sof2)
+    def test_arithmetic_coding_rejected(self):
+        # SOF9 = arithmetic-coded sequential: still out of scope (SOF2
+        # progressive is decoded since round 4 — tests/test_jpeg_progressive.py)
+        sof9 = b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11) + bytes(9)
+        with pytest.raises(ValueError, match="SOF9"):
+            J.decode_jpeg(sof9)
 
     def test_not_a_jpeg_rejected(self):
         with pytest.raises(ValueError, match="SOI"):
