@@ -1206,6 +1206,74 @@ SELECT img_a, img_b, hamming FROM (
 WHERE hamming <= {PHASH_NEARDUP_MAX_HAMMING}"""
 
 
+IMG_CORPUS_MIN_CAPTION = 55  # drops ~18% of the synthetic captions
+
+
+def image_corpus_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full image-corpus preparation over a simulated double-crawl:
+    caption-length gate → exact byte-dedup keep-one (drops every re-crawl
+    copy) → phash near-dup cluster keep-one (images/dedup.py
+    prepare_image_corpus). The oracle replays the gate arithmetic, the
+    LSH banding and the connected-components fixpoint (recursive CTE) on
+    driver-side recomputed phashes."""
+    from .images import dedup as D
+    from .sources import images as IMG
+
+    src = IMG.images_table(spark, N_IMG_DEDUP).select(
+        "image_id", "bytes", "w", "h", "caption", "phash"
+    )
+    recrawl = src.withColumn("image_id", F.concat("image_id", F.lit("~re")))
+    kept = D.prepare_image_corpus(
+        src.unionByName(recrawl),
+        min_caption_chars=IMG_CORPUS_MIN_CAPTION,
+        max_hamming=PHASH_NEARDUP_MAX_HAMMING,
+    )
+    return kept.select("image_id", "phash")
+
+
+def image_corpus_kept_sql() -> str:
+    from .images.dedup import PHASH_BAND_BITS, PHASH_BANDS
+    from .sources.images import CAPTION_SUBJECTS, CAPTION_TOWNS, images_phash_sql
+
+    subj = "[" + ", ".join(f"'{s}'" for s in CAPTION_SUBJECTS) + "]"
+    town = "[" + ", ".join(f"'{t}'" for t in CAPTION_TOWNS) + "]"
+    bb = PHASH_BAND_BITS
+    mask = (1 << bb) - 1
+    return f"""
+WITH RECURSIVE
+ph AS (SELECT image_id, phash FROM {images_phash_sql(N_IMG_DEDUP)} s),
+cap AS (
+  SELECT 'img' || lpad(CAST(i AS VARCHAR), 10, '0') AS image_id,
+         'photo ' || lpad(CAST(i AS VARCHAR), 8, '0') || ': a ' ||
+         ({subj})[(i % {len(CAPTION_SUBJECTS)}) + 1] || ' in ' ||
+         ({town})[(i % {len(CAPTION_TOWNS)}) + 1] ||
+         ' with housenumber ' || CAST(1 + i % 180 AS VARCHAR) AS caption
+  FROM range({N_IMG_DEDUP}) t(i)),
+gated AS (
+  SELECT p.image_id, p.phash FROM ph p JOIN cap c USING (image_id)
+  WHERE LENGTH(c.caption) >= {IMG_CORPUS_MIN_CAPTION}),
+bands AS (
+  SELECT image_id, phash, j AS band, (phash >> (j * {bb})) & {mask} AS bucket
+  FROM gated CROSS JOIN (
+    SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS j) g),
+pairs AS (
+  SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_NEARDUP_MAX_HAMMING}),
+edges AS (
+  SELECT img_a AS esrc, img_b AS edst FROM pairs
+  UNION SELECT img_b, img_a FROM pairs),
+reach(id, r) AS (
+  SELECT image_id, image_id FROM gated
+  UNION
+  SELECT e.edst, reach.r FROM reach JOIN edges e ON e.esrc = reach.id)
+SELECT g.image_id, g.phash FROM gated g
+JOIN (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id) c
+  ON c.id = g.image_id
+WHERE c.cluster_id = g.image_id"""
+
+
 def image_resize_stats_sql() -> str:
     """The resize gate's expected aggregate: every one of the N_MM_IMAGES
     rows must come back with the target dims and a byte-equal caption. The

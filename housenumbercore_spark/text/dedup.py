@@ -282,8 +282,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 24) -> DataFrame:
         .select(
             "doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").alias("hamming")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # refine BEFORE dedup: the Hamming filter is a map-side expression,
+        # so the dropDuplicates shuffle carries only near pairs, not the
+        # full band-join fan-out (same fix as images/dedup.py, measured 6.5x
+        # in BENCH/phash_scale.py)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -92,8 +92,37 @@ def test_phash_for_matches_stored_column(spark):
         assert stored[f"img{i:010d}"] == IMG.phash_for(i)
 
 
+def test_prepare_image_corpus_stages(spark):
+    """Crafted 6-row table: the gate drops the short caption, exact dedup
+    drops the byte-identical re-crawl, near-dup clustering keeps only the
+    canonical of the phash-near pair."""
+    x = 0x1111_2222_3333_4444
+    rows = [
+        ("a", b"\x01", 16, 16, "long caption here", x),
+        ("a~re", b"\x01", 16, 16, "long caption here", x),   # exact dup of a
+        ("b", b"\x02", 16, 16, "long caption here", x ^ 0x3),  # near-dup of a
+        ("c", b"\x03", 16, 16, "short", 0x7FFF000012340000),   # gated out
+        ("d", b"\x04", 16, 16, "another long caption", -42),   # survivor
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, caption string, phash long",
+    )
+    kept = sorted(
+        r.image_id
+        for r in D.prepare_image_corpus(df, min_caption_chars=10).collect()
+    )
+    assert kept == ["a", "d"]
+
+
 @pytest.mark.parametrize(
-    "name", ["image_dedup_exact", "image_caption_dedup", "image_phash_neardup"]
+    "name",
+    [
+        "image_dedup_exact",
+        "image_caption_dedup",
+        "image_phash_neardup",
+        "image_corpus_kept",
+    ],
 )
 def test_driver_query_matches_oracle(spark, name):
     import __spark_entry__ as E
