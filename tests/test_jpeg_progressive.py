@@ -84,6 +84,29 @@ class TestTranscodeExactness:
         assert prog.count(b"\xff\xda") >= 8  # DC×2 + AC bands×(2·3 comps)
 
 
+class TestTranscodeFuzz:
+    def test_hypothesis_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            w=st.integers(1, 40),
+            h=st.integers(1, 40),
+            q=st.sampled_from([35, 60, 90, 97]),
+            ri=st.sampled_from([0, 1, 5]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(w, h, q, ri, seed):
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = J.encode_jpeg(px, quality=q, restart_interval=ri)
+            prog = J.transcode_progressive(base, restart_interval=ri)
+            assert np.array_equal(J.decode_jpeg(base), J.decode_jpeg(prog))
+
+        check()
+
+
 class TestRealProgressiveFixtures:
     # (file, shape, sha256[:16] of decoded RGB, phash64)
     ANCHORS = [
