@@ -48,6 +48,9 @@ HEADLINE = [
     "knn_nearest_street",
     "image_invariants",
     "image_decode_stats",
+    # image-payload dedup family representative (round 4); its volume
+    # throughput lives in BENCH/phash_scale.py
+    "image_phash_neardup",
 ]
 
 

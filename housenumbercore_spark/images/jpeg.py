@@ -21,11 +21,13 @@ Decoder (:func:`decode_jpeg`) — sequential (SOF0/1) AND progressive
   decode(x) bit-for-bit, incl. 4:2:0 and restart) alongside pinned
   real-encoder progressive fixtures.
 
-Encoder (:func:`encode_jpeg`) — baseline sequential, 4:4:4, Annex K
-  quantization tables scaled by the libjpeg quality formula, Annex K
-  Huffman tables, JFIF APP0 header. At the default quality 90 a
-  round-trip stays well above the 40 dB PSNR north-rule floor on natural
-  and synthetic images (tests/test_jpeg.py asserts it).
+Encoder (:func:`encode_jpeg`) — baseline sequential with selectable
+  4:4:4 / 4:2:2 / 4:2:0 chroma sampling (box-average subsampling,
+  interleaved MCUs), Annex K quantization tables scaled by the libjpeg
+  quality formula, Annex K Huffman tables, JFIF APP0 header. At the
+  default quality 90 a round-trip stays well above the 40 dB PSNR
+  north-rule floor on natural and synthetic images (tests/test_jpeg.py
+  asserts it); the 4:4:4 default is byte-stable across rounds.
 
 :func:`register_real_jpeg` plugs both into the engine's codec registry
 (images/codec.py:158 ``register_codec``) so every decode/encode call site
@@ -239,16 +241,50 @@ def _dht_payload(tc_th: int, spec: tuple[list[int], list[int]]) -> bytes:
     return bytes([tc_th] + bits + vals)
 
 
+SAMPLINGS = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def _box_subsample(plane: np.ndarray, sh: int, sv: int) -> np.ndarray:
+    """Chroma subsampling by box average over sh×sv sample blocks (edge-
+    padded so partial boxes average replicated edge samples)."""
+    if sh == 1 and sv == 1:
+        return plane
+    h, w = plane.shape
+    ph = -(-h // sv) * sv
+    pw = -(-w // sh) * sh
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+
+
+def _block_quantize(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """8-aligned plane → quantized zigzag coefficients (nby, nbx, 64)."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (plane - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,yxjk,lk->yxil", _DCT8, blocks, _DCT8)
+    quantized = np.round(coef / qt).astype(np.int64)
+    return quantized.reshape(nby, nbx, 64)[..., ZIGZAG]
+
+
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    sampling: str = "4:4:4",
 ) -> bytes:
     """(h, w, 3) uint8 RGB (or (h, w) grayscale) → baseline JFIF bytes.
 
-    4:4:4 sampling (no chroma loss beyond quantization), Annex K tables
-    scaled by ``quality``, whole-image vectorized DCT + quantization; only
-    the entropy coding is a per-block Python loop. ``restart_interval`` > 0
-    emits a DRI segment and RSTn markers every that many MCUs (the
-    executor-resync feature real encoders use for error resilience)."""
+    ``sampling`` selects the chroma layout: "4:4:4" (default — no chroma
+    loss beyond quantization; byte-stable with earlier rounds), "4:2:2" or
+    "4:2:0" (box-average subsampling, interleaved MCUs of 2×1 / 2×2 luma
+    blocks — the layout real crawl JPEGs overwhelmingly use). Annex K
+    tables scaled by ``quality``, whole-image vectorized DCT +
+    quantization; only the entropy coding is a per-block Python loop.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (the executor-resync feature real encoders use for
+    error resilience)."""
+    if sampling not in SAMPLINGS:
+        raise ValueError(f"unsupported sampling {sampling!r}")
+    sh, sv = SAMPLINGS[sampling]
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 2:
         px = np.stack([px] * 3, axis=-1)
@@ -261,65 +297,71 @@ def encode_jpeg(
     ]
     qy = _scaled_quant(STD_LUMA_QUANT, quality)
     qc = _scaled_quant(STD_CHROMA_QUANT, quality)
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
-    nby, nbx = ph // 8, pw // 8
+    mcux = -(-w // (8 * sh))
+    mcuy = -(-h // (8 * sv))
 
     comp_blocks = []
     for ci, plane in enumerate(planes):
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ij,yxjk,lk->yxil", _DCT8, blocks, _DCT8)
-        qt = qy if ci == 0 else qc
-        quantized = np.round(coef / qt).astype(np.int64)
-        # zigzag per block: (nby, nbx, 64)
-        comp_blocks.append(quantized.reshape(nby, nbx, 64)[..., ZIGZAG])
+        if ci > 0:
+            plane = _box_subsample(plane, sh, sv)
+        th = mcuy * (sv if ci == 0 else 1) * 8
+        tw = mcux * (sh if ci == 0 else 1) * 8
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        comp_blocks.append(_block_quantize(p, qy if ci == 0 else qc))
 
     enc_dc = [_huff_codes(*DC_LUMA_SPEC), _huff_codes(*DC_CHROMA_SPEC)]
     enc_ac = [_huff_codes(*AC_LUMA_SPEC), _huff_codes(*AC_CHROMA_SPEC)]
+
+    def put_block(zz, t: int, ci: int) -> None:
+        dc_codes, ac_codes = enc_dc[t], enc_ac[t]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, bits = _magnitude(diff)
+        code, ln = dc_codes[size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, ln = ac_codes[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(bits, size)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
 
     bw = _BitWriter()
     pred = [0, 0, 0]
     mcu_idx = 0
     rst = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
                 bw.flush()  # byte-align, then restart marker + fresh preds
                 bw.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 pred = [0, 0, 0]
             mcu_idx += 1
-            for ci in range(3):  # 4:4:4 MCU = one block per component
-                zz = comp_blocks[ci][by, bx]
-                t = 0 if ci == 0 else 1
-                dc_codes, ac_codes = enc_dc[t], enc_ac[t]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, ln = dc_codes[size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, ln = ac_codes[(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(bits, size)
-                    run = 0
-                if last < 63:
-                    code, ln = ac_codes[0x00]  # EOB
-                    bw.write(code, ln)
+            for vy in range(sv):
+                for vx in range(sh):
+                    put_block(comp_blocks[0][my * sv + vy, mx * sh + vx], 0, 0)
+            put_block(comp_blocks[1][my, mx], 1, 1)
+            put_block(comp_blocks[2][my, mx], 1, 2)
     bw.flush()
 
     head = bytearray(b"\xff\xd8")  # SOI
@@ -327,8 +369,8 @@ def encode_jpeg(
     head += _seg(0xDB, bytes([0x00]) + bytes(qy.reshape(64)[ZIGZAG].tolist()))
     head += _seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[ZIGZAG].tolist()))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    for cid, hv, tq in ((1, (sh << 4) | sv, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, hv, tq])
     head += _seg(0xC0, sof)
     head += _seg(0xC4, _dht_payload(0x00, DC_LUMA_SPEC))
     head += _seg(0xC4, _dht_payload(0x10, AC_LUMA_SPEC))
@@ -937,7 +979,7 @@ def sniff_jpeg(buf: bytes) -> bool:
     return bytes(buf[:3]) == b"\xff\xd8\xff"
 
 
-def register_real_jpeg(quality: int = 95) -> None:
+def register_real_jpeg(quality: int = 95, progressive: bool = False) -> None:
     """One-call production swap (the seam the round-3 verdict asked to
     close): route the engine's 'jpeg' fmt through this REAL codec. The
     synthetic ``jpgq`` remains the default registry so the driver's
@@ -947,10 +989,16 @@ def register_real_jpeg(quality: int = 95) -> None:
     Default quality 95: measured round-trip PSNR on the engine's image
     table stays ≥ 43 dB (the north rule's floor is 40; quality 90 dips to
     ~38 on the 16×16 synthetic images, whose energy sits in exactly the
-    frequencies the luma table quantizes hardest)."""
+    frequencies the luma table quantizes hardest).
+
+    ``progressive=True`` emits SOF2 streams (encode, then the lossless
+    coefficient-domain transcode) — pixel-identical round trip to the
+    baseline path by construction, tested in tests/test_jpeg_progressive.py.
+    The decoder handles both forms either way."""
     from . import codec
 
     def _enc(px: np.ndarray) -> bytes:
-        return encode_jpeg(px, quality)
+        out = encode_jpeg(px, quality)
+        return transcode_progressive(out) if progressive else out
 
     codec.register_codec("jpeg", _enc, decode_jpeg, sniff_jpeg)

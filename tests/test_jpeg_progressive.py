@@ -84,6 +84,43 @@ class TestTranscodeExactness:
         assert prog.count(b"\xff\xda") >= 8  # DC×2 + AC bands×(2·3 comps)
 
 
+class TestSubsampledEncoding:
+    @pytest.mark.parametrize("sampling", ["4:2:0", "4:2:2"])
+    @pytest.mark.parametrize("shape", [(33, 41, 3), (17, 15, 3), (64, 48, 3)])
+    def test_encode_roundtrip_and_progressive(self, sampling, shape):
+        """Our own subsampled streams: decoded dims exact, PSNR sane on a
+        smooth image, and the progressive transcode stays bit-exact (the
+        richest exercise of non-interleaved scans whose component block
+        grid differs from the MCU-padded one)."""
+        rng = np.random.default_rng(hash((sampling, shape)) % 2**31)
+        smooth = rng.integers(0, 256, (6, 7, 3)).astype(np.float64)
+        px = np.clip(
+            np.repeat(np.repeat(smooth, 8, 0), 8, 1)[: shape[0], : shape[1]],
+            0,
+            255,
+        ).astype(np.uint8)
+        buf = J.encode_jpeg(px, quality=92, sampling=sampling)
+        dec = J.decode_jpeg(buf)
+        assert dec.shape == px.shape
+        assert codec.psnr(px, dec) > 30.0
+        prog = J.transcode_progressive(buf)
+        assert np.array_equal(J.decode_jpeg(prog), dec)
+
+    def test_420_sof_and_size_win(self):
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        b444 = J.encode_jpeg(px, quality=90, sampling="4:4:4")
+        b420 = J.encode_jpeg(px, quality=90, sampling="4:2:0")
+        # SOF component 1 sampling byte: 0x22 for 4:2:0
+        i = b420.find(b"\xff\xc0")
+        assert b420[i + 11] == 0x22
+        assert len(b420) < len(b444)
+
+    def test_unknown_sampling_rejected(self):
+        with pytest.raises(ValueError, match="sampling"):
+            J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), sampling="4:1:1")
+
+
 class TestTranscodeFuzz:
     def test_hypothesis_roundtrip(self):
         from hypothesis import given, settings
@@ -161,6 +198,26 @@ class TestRealProgressiveFixtures:
         finally:
             J._ac_first, J._ac_refine = orig_f, orig_r
         assert seen["first"] > 0 and seen["refine"] > 0
+
+    def test_register_progressive_encoder(self):
+        """progressive=True on the registry seam: encode emits SOF2 and the
+        round trip is pixel-identical to the baseline registration."""
+        from housenumbercore_spark.sources.images import make_pixels
+
+        saved_enc = dict(codec._ENCODERS)
+        saved_dec = list(codec._DECODERS)
+        try:
+            px = make_pixels(5)
+            J.register_real_jpeg(progressive=False)
+            base_rt = codec.decode_image(codec.encode_image(px, "jpeg"))
+            J.register_real_jpeg(progressive=True)
+            buf = codec.encode_image(px, "jpeg")
+            assert b"\xff\xc2" in buf
+            assert np.array_equal(codec.decode_image(buf), base_rt)
+        finally:
+            codec._ENCODERS.clear()
+            codec._ENCODERS.update(saved_enc)
+            codec._DECODERS[:] = saved_dec
 
     def test_registry_routes_progressive_bytes(self):
         """A progressive payload sniffs as JPEG and decodes through the
