@@ -757,9 +757,20 @@ def _reconstruct(coefs: list[np.ndarray], meta: dict) -> np.ndarray:
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Sequential (SOF0/1) or progressive (SOF2) JFIF/EXIF bytes →
-    (h, w, 3) uint8 RGB."""
-    coefs, meta = _decode_to_coefficients(buf)
-    return _reconstruct(coefs, meta)
+    (h, w, 3) uint8 RGB.
+
+    Error contract: every malformed stream raises ValueError (a 100 TB
+    crawl pipeline counts typed decode failures per row — see
+    udfs.decode_check — rather than crashing executors on whatever
+    low-level exception a corrupt header happens to hit first; fuzz-tested
+    over byte mutations in tests/test_jpeg_progressive.py)."""
+    try:
+        coefs, meta = _decode_to_coefficients(buf)
+        return _reconstruct(coefs, meta)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") from e
 
 
 # ---------------------------------------------------------------------------

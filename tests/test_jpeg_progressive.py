@@ -84,6 +84,29 @@ class TestTranscodeExactness:
         assert prog.count(b"\xff\xda") >= 8  # DC×2 + AC bands×(2·3 comps)
 
 
+class TestCorruptStreams:
+    def test_mutation_fuzz_raises_only_valueerror(self):
+        """Byte-mutate valid baseline/progressive/real streams: decode must
+        either succeed (entropy bits tolerate damage) or raise ValueError —
+        never an untyped IndexError/KeyError/OverflowError and never hang
+        (the per-row failure contract of a crawl-scale decode stage)."""
+        from housenumbercore_spark.sources.images import make_pixels
+
+        rng = np.random.default_rng(42)
+        base = J.encode_jpeg(make_pixels(7), quality=90)
+        sources = [base, J.transcode_progressive(base), _fix("prog_rgb_58x493.jpg")]
+        for src in sources:
+            for _ in range(60):
+                b = bytearray(src)
+                for _ in range(int(rng.integers(1, 6))):
+                    b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+                try:
+                    J.decode_jpeg(bytes(b))
+                except ValueError:
+                    pass  # the typed contract
+                # anything else propagates and fails the test
+
+
 class TestSubsampledEncoding:
     @pytest.mark.parametrize("sampling", ["4:2:0", "4:2:2"])
     @pytest.mark.parametrize("shape", [(33, 41, 3), (17, 15, 3), (64, 48, 3)])
