@@ -14,6 +14,7 @@ spatial-join path at the 10¹²-row target shape.
 
 from __future__ import annotations
 
+import functools
 import threading
 
 import numpy as np
@@ -94,6 +95,7 @@ def phash_for(i: int) -> int:
     return codec.phash64(decoded)
 
 
+@functools.lru_cache(maxsize=4)
 def images_phash_sql(n: int) -> str:
     """DuckDB subquery of the image table's (image_id, phash) columns as an
     inlined VALUES list, recomputed generator-side (deterministic — the
@@ -101,7 +103,12 @@ def images_phash_sql(n: int) -> str:
     the id). phash is not SQL-expressible, so this is the honest way to
     oracle distributed phash operators: the VALUES come from an independent
     single-threaded rerun of the same pure kernel, and the SQL replays the
-    banding/join/refine logic on them."""
+    banding/join/refine logic on them.
+
+    Cached (oracle_sql() is rebuilt per driver/parity-test call and the
+    2000-hash recompute costs ~1 s each time); safe because the stored
+    payloads are pure functions of the id — ``register_codec`` adds new
+    fmts, it never swaps the default png/jpgq pair the generator uses."""
     rows = ", ".join(
         f"('img{i:010d}', CAST({phash_for(i)} AS BIGINT))" for i in range(n)
     )
