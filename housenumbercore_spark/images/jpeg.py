@@ -67,6 +67,14 @@ def _zigzag_order() -> list[int]:
 ZIGZAG = np.array(_zigzag_order(), dtype=np.int64)  # raster index per zigzag pos
 UNZIGZAG = np.argsort(ZIGZAG)
 
+# Decompression-bomb guard (cf. PIL's MAX_IMAGE_PIXELS): a ~20-byte corrupt
+# or hostile SOF header must raise a typed per-row failure, not allocate
+# multi-GB coefficient arrays and OOM-kill the executor. 2^25 pixels
+# (≈ 5792², beyond crawl-scale photos; ~270 MB of int64 coefficients for 3
+# components) — module-level so a caller with genuinely huge scans can
+# raise it.
+MAX_DECODE_PIXELS = 1 << 25
+
 STD_LUMA_QUANT = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
@@ -256,6 +264,55 @@ def _box_subsample(plane: np.ndarray, sh: int, sv: int) -> np.ndarray:
     return p.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
 
 
+class _ScanWriter:
+    """Accumulates one scan's entropy bytes with restart handling (shared
+    by the sequential encoder and every progressive transcoder scan)."""
+
+    def __init__(self, restart_interval: int, ncomps: int) -> None:
+        self.bwr = _BitWriter()
+        self.ri = restart_interval
+        self.ncomps = ncomps
+        self.pred = [0] * ncomps
+        self.cnt = 0
+        self.rst = 0
+
+    def unit_boundary(self) -> None:
+        if self.ri and self.cnt and self.cnt % self.ri == 0:
+            self.bwr.flush()
+            self.bwr.out += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) % 8
+            self.pred = [0] * self.ncomps
+        self.cnt += 1
+
+    def finish(self) -> bytes:
+        self.bwr.flush()
+        return bytes(self.bwr.out)
+
+
+def _enc_ac_first_block(bwr, ac_codes, tvals, ss: int, se: int) -> None:
+    """Emit one block's AC band as run-length + magnitude codes (ZRL for
+    16+ runs, EOB0 terminator) — the sequential encoder is the ss=1,
+    se=63 case; progressive AC-first scans pass band limits and values
+    pre-scaled to the scan's approximation."""
+    nz = [k for k in range(ss, se + 1) if tvals[k]]
+    last = nz[-1] if nz else ss - 1
+    run = 0
+    for k in range(ss, last + 1):
+        v = tvals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bwr.write(*ac_codes[0xF0])
+            run -= 16
+        size, bits_ = _magnitude(v)
+        bwr.write(*ac_codes[(run << 4) | size])
+        bwr.write(bits_, size)
+        run = 0
+    if last < se:
+        bwr.write(*ac_codes[0x00])
+
+
 def _block_quantize(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     """8-aligned plane → quantized zigzag coefficients (nby, nbx, 64)."""
     nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
@@ -316,53 +373,24 @@ def encode_jpeg(
     enc_dc = [_huff_codes(*DC_LUMA_SPEC), _huff_codes(*DC_CHROMA_SPEC)]
     enc_ac = [_huff_codes(*AC_LUMA_SPEC), _huff_codes(*AC_CHROMA_SPEC)]
 
-    def put_block(zz, t: int, ci: int) -> None:
-        dc_codes, ac_codes = enc_dc[t], enc_ac[t]
-        diff = int(zz[0]) - pred[ci]
-        pred[ci] = int(zz[0])
-        size, bits = _magnitude(diff)
-        code, ln = dc_codes[size]
-        bw.write(code, ln)
-        bw.write(bits, size)
-        run = 0
-        nz = np.nonzero(zz[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            size, bits = _magnitude(v)
-            code, ln = ac_codes[(run << 4) | size]
-            bw.write(code, ln)
-            bw.write(bits, size)
-            run = 0
-        if last < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            bw.write(code, ln)
+    sw = _ScanWriter(restart_interval, 3)
 
-    bw = _BitWriter()
-    pred = [0, 0, 0]
-    mcu_idx = 0
-    rst = 0
+    def put_block(zz, t: int, ci: int) -> None:
+        v0 = int(zz[0])
+        size, bits = _magnitude(v0 - sw.pred[ci])
+        sw.pred[ci] = v0
+        sw.bwr.write(*enc_dc[t][size])
+        sw.bwr.write(bits, size)
+        _enc_ac_first_block(sw.bwr, enc_ac[t], [int(v) for v in zz], 1, 63)
+
     for my in range(mcuy):
         for mx in range(mcux):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                bw.flush()  # byte-align, then restart marker + fresh preds
-                bw.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = [0, 0, 0]
-            mcu_idx += 1
+            sw.unit_boundary()
             for vy in range(sv):
                 for vx in range(sh):
                     put_block(comp_blocks[0][my * sv + vy, mx * sh + vx], 0, 0)
             put_block(comp_blocks[1][my, mx], 1, 1)
             put_block(comp_blocks[2][my, mx], 1, 2)
-    bw.flush()
 
     head = bytearray(b"\xff\xd8")  # SOI
     head += _seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
@@ -380,7 +408,7 @@ def encode_jpeg(
         head += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     head += _seg(0xDA, sos)
-    return bytes(head) + bytes(bw.out) + b"\xff\xd9"
+    return bytes(head) + sw.finish() + b"\xff\xd9"
 
 
 # ---------------------------------------------------------------------------
@@ -637,7 +665,10 @@ def _decode_to_coefficients(buf: bytes):
             i += 1
             continue
         marker = buf[i + 1]
-        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2): the NEXT 0xFF may
+            i += 1          # start the real marker, so advance by one only
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             i += 2
             continue
         if marker == 0xD9:  # EOI
@@ -670,10 +701,21 @@ def _decode_to_coefficients(buf: bytes):
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
+            if nc < 1 or h < 1 or w < 1:
+                raise ValueError("corrupt SOF: empty frame")
+            if h * w > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"frame {w}x{h} exceeds MAX_DECODE_PIXELS "
+                    f"({MAX_DECODE_PIXELS}); raise jpeg.MAX_DECODE_PIXELS to "
+                    "decode it"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):  # T.81 B.2.2 bounds
+                    raise ValueError(f"corrupt SOF: sampling factor {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             max_h = max(c["h"] for c in comps)
             max_v = max(c["v"] for c in comps)
             mcux = (w + 8 * max_h - 1) // (8 * max_h)
@@ -789,28 +831,6 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 # path is exercised by real libjpeg progressive fixtures instead.
 
 
-def _enc_ac_first_block(bwr, ac_codes, tvals, ss: int, se: int) -> None:
-    """Emit one block's AC band (values already scaled to the scan's
-    approximation) — baseline RLE with ZRL, EOB0 terminator."""
-    nz = [k for k in range(ss, se + 1) if tvals[k]]
-    last = nz[-1] if nz else ss - 1
-    run = 0
-    for k in range(ss, last + 1):
-        v = tvals[k]
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            bwr.write(*ac_codes[0xF0])
-            run -= 16
-        size, bits_ = _magnitude(v)
-        bwr.write(*ac_codes[(run << 4) | size])
-        bwr.write(bits_, size)
-        run = 0
-    if last < se:
-        bwr.write(*ac_codes[0x00])
-
-
 def _enc_ac_refine_block(bwr, ac_codes, zz, ss: int, se: int, al: int) -> None:
     """Emit one block's AC refinement (Ah = al+1 → Al = al), mirroring the
     decoder's walk exactly: correction bits for nonzero-history positions
@@ -856,30 +876,6 @@ def _enc_ac_refine_block(bwr, ac_codes, zz, ss: int, se: int, al: int) -> None:
             for b in corr:
                 bwr.write(b, 1)
             return
-
-
-class _ScanWriter:
-    """Accumulates one scan's entropy bytes with restart handling."""
-
-    def __init__(self, restart_interval: int, ncomps: int) -> None:
-        self.bwr = _BitWriter()
-        self.ri = restart_interval
-        self.ncomps = ncomps
-        self.pred = [0] * ncomps
-        self.cnt = 0
-        self.rst = 0
-
-    def unit_boundary(self) -> None:
-        if self.ri and self.cnt and self.cnt % self.ri == 0:
-            self.bwr.flush()
-            self.bwr.out += bytes([0xFF, 0xD0 + self.rst])
-            self.rst = (self.rst + 1) % 8
-            self.pred = [0] * self.ncomps
-        self.cnt += 1
-
-    def finish(self) -> bytes:
-        self.bwr.flush()
-        return bytes(self.bwr.out)
 
 
 def transcode_progressive(buf: bytes, restart_interval: int = 0) -> bytes:

@@ -85,6 +85,34 @@ class TestTranscodeExactness:
 
 
 class TestCorruptStreams:
+    def test_fill_bytes_before_marker_tolerated(self):
+        """T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker.
+        Insert one before the first DHT — decode must be unaffected."""
+        from housenumbercore_spark.sources.images import make_pixels
+
+        base = J.encode_jpeg(make_pixels(7), quality=90)
+        i = base.find(b"\xff\xc4")
+        padded = base[:i] + b"\xff" + base[i:]
+        assert np.array_equal(J.decode_jpeg(padded), J.decode_jpeg(base))
+
+    def test_zero_sampling_factor_raises_valueerror(self):
+        from housenumbercore_spark.sources.images import make_pixels
+
+        base = bytearray(J.encode_jpeg(make_pixels(7), quality=90))
+        i = bytes(base).find(b"\xff\xc0")
+        base[i + 11] = 0x00  # comp 1 hv byte -> 0x00
+        with pytest.raises(ValueError, match="sampling factor"):
+            J.decode_jpeg(bytes(base))
+
+    def test_decompression_bomb_guard(self):
+        from housenumbercore_spark.sources.images import make_pixels
+
+        base = bytearray(J.encode_jpeg(make_pixels(7), quality=90))
+        i = bytes(base).find(b"\xff\xc0")
+        base[i + 5 : i + 9] = b"\xff\xff\xff\xff"  # h = w = 65535
+        with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+            J.decode_jpeg(bytes(base))
+
     def test_mutation_fuzz_raises_only_valueerror(self):
         """Byte-mutate valid baseline/progressive/real streams: decode must
         either succeed (entropy bits tolerate damage) or raise ValueError —
