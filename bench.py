@@ -77,7 +77,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         # run eager actions (checkpoint rounds) while building, and
         # excluding those made round-1 recorded numbers irreproducible
         # under driver conditions.
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+        repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
         timings: dict[str, float] = {}
         timings_min: dict[str, float] = {}
         rows: dict[str, int] = {}

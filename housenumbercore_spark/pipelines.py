@@ -674,23 +674,38 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("id"),
         (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
     )
-    table = tempfile.mkdtemp(prefix="hns_snaptbl_") + "/t"
-    SN.snapshot_write(base, table, ["bucket"], mode="append")
-    repl = base.filter(F.col("bucket") < 2).select(
-        (F.col("id") + 10_000_000).alias("id"), "bucket"
-    )
-    SN.snapshot_write(repl, table, ["bucket"], mode="overwrite_partitions")
-    SN.rollback(spark, table, 1)
-    outs = []
-    for v in (1, 2, 3):
-        df = SN.read_snapshot(spark, table, version=v)
-        outs.append(
-            df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum("id").alias("sum_id"),
-            ).select(F.lit(v).alias("version"), "n_rows", "sum_id")
+    root = tempfile.mkdtemp(prefix="hns_snaptbl_")
+    table = root + "/t"
+    try:
+        SN.snapshot_write(base, table, ["bucket"], mode="append")
+        repl = base.filter(F.col("bucket") < 2).select(
+            (F.col("id") + 10_000_000).alias("id"), "bucket"
         )
-    return reduce(lambda a, b: a.unionByName(b), outs)
+        SN.snapshot_write(repl, table, ["bucket"], mode="overwrite_partitions")
+        SN.rollback(spark, table, 1)
+        outs = []
+        for v in (1, 2, 3):
+            df = SN.read_snapshot(spark, table, version=v)
+            outs.append(
+                df.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("id").alias("sum_id"),
+                ).select(F.lit(v).alias("version"), "n_rows", "sum_id")
+            )
+        # materialize (3 rows) so the temp table can be deleted — repeated
+        # driver/bench invocations otherwise leave two full data copies
+        # under /tmp per call
+        rows = [
+            (r["version"], r["n_rows"], r["sum_id"])
+            for r in reduce(lambda a, b: a.unionByName(b), outs).collect()
+        ]
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, sum_id bigint"
+    )
 
 
 def snapshot_time_travel_sql() -> str:

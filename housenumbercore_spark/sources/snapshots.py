@@ -69,8 +69,7 @@ def _read_text(fs, jvm, jpath) -> str | None:
         stream.close()
 
 
-def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
-    """Write ``text`` to ``path`` via tmp-file + atomic rename."""
+def _write_tmp(spark: SparkSession, path: str, text: str):
     jvm, fs, jpath = _hadoop_fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp.{uuid.uuid4().hex}")
     stream = fs.create(tmp, True)
@@ -78,18 +77,68 @@ def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+    return jvm, fs, jpath, tmp
+
+
+def _write_text_new(spark: SparkSession, path: str, text: str) -> None:
+    """Create ``path`` EXCLUSIVELY (tmp + rename-without-overwrite): used
+    for manifests, which are immutable once written — a second writer
+    racing for the same version number must fail here WITHOUT touching the
+    winner's committed manifest (clobbering it would silently replace a
+    committed snapshot's contents)."""
+    jvm, fs, jpath, tmp = _write_tmp(spark, path, text)
+    if fs.exists(jpath) or not fs.rename(tmp, jpath):
+        fs.delete(tmp, False)
+        raise CommitConflict(
+            f"{path} already exists — another writer committed this version "
+            "first (if no writer is active, an aborted commit left this "
+            "manifest behind; delete it to repair)"
+        )
+
+
+def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Overwrite ``path`` via tmp-file + rename: used only for the VERSION
+    pointer. On filesystems whose rename won't overwrite, there is a
+    delete→rename window with no pointer file; :func:`current_version`
+    falls back to the newest manifest for exactly that case."""
+    jvm, fs, jpath, tmp = _write_tmp(spark, path, text)
     if not fs.rename(tmp, jpath):
         fs.delete(jpath, False)
         if not fs.rename(tmp, jpath):
             raise IOError(f"cannot commit {path}")
 
 
+def _max_manifest_version(jvm, fs, table: str) -> int | None:
+    meta = jvm.org.apache.hadoop.fs.Path(f"{table}/{META}")
+    if not fs.exists(meta):
+        return None
+    best = None
+    for st in fs.listStatus(meta):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                n = int(name[1:-5])
+            except ValueError:
+                continue
+            best = n if best is None else max(best, n)
+    return best
+
+
 def current_version(spark: SparkSession, table: str) -> int | None:
+    """Version the table is at. Primary source: the VERSION pointer.
+    Fallback when the pointer file is absent but manifests exist: the
+    newest manifest — this covers (a) the delete→rename pointer-swap
+    window on filesystems without overwriting rename, and (b) crash
+    recovery for a writer that died between manifest write and pointer
+    flip (the manifest + data are complete; exposing them is the
+    linearizable completion of that commit)."""
     jvm, fs, _ = _hadoop_fs(spark, table)
     txt = _read_text(
         fs, jvm, jvm.org.apache.hadoop.fs.Path(f"{table}/{META}/VERSION")
     )
-    return int(txt.strip()) if txt else None
+    if txt:
+        return int(txt.strip())
+    return _max_manifest_version(jvm, fs, table)
 
 
 def load_snapshot(spark: SparkSession, table: str, version: int) -> dict:
@@ -192,29 +241,42 @@ def snapshot_write(
 
     write_id = uuid.uuid4().hex
     data_dir = f"{table}/{DATA}/{write_id}"
-    n_rows = df.count()
+    # ONE evaluation of the input plan (the write itself): row count and
+    # partition values are then derived from the WRITTEN files — parquet
+    # footer counts + partition-directory values — instead of re-executing
+    # a possibly expensive plan (a merge join) two more times. The explicit
+    # schema pins partition-column types on read-back (inference would
+    # turn a string partition value '00123' into int 123).
+    writer = df.write.mode("error")
+    if partition_cols:
+        writer = (
+            df.repartition(*partition_cols)
+            .write.mode("error")
+            .partitionBy(*partition_cols)
+        )
+    writer.parquet(data_dir)
+    jvm_fs = _hadoop_fs(spark, data_dir)
+    try:
+        written = spark.read.schema(df.schema).parquet(data_dir)
+        n_rows = written.count()
+    except Exception:  # only _SUCCESS inside: a zero-row partitioned write
+        n_rows = 0
     entry = None
     new_parts: list[list] = []
     new_parts_str: list[list] = []
     if n_rows > 0:
-        # a zero-row commit writes no data dir (an empty partitioned
-        # parquet dir has no readable schema) — the manifest alone carries
-        # the change (e.g. a merge that only deletes)
-        writer = df.write.mode("error")
-        if partition_cols:
-            writer = (
-                df.repartition(*partition_cols)
-                .write.mode("error")
-                .partitionBy(*partition_cols)
-            )
-        writer.parquet(data_dir)
-        new_parts, new_parts_str = _partition_values(df, partition_cols)
+        new_parts, new_parts_str = _partition_values(written, partition_cols)
         entry = {
             "dir": f"{DATA}/{write_id}",
             "rows": n_rows,
             "partitions": new_parts,
             "partitions_str": new_parts_str,
         }
+    else:
+        # a zero-row commit carries no data dir (an empty partitioned
+        # parquet dir has no readable schema) — the manifest alone carries
+        # the change (e.g. a merge that only deletes); drop the empty dir
+        jvm_fs[1].delete(jvm_fs[2], True)
     if mode == "append":
         entries = parent_entries + ([entry] if entry else [])
     elif mode == "overwrite":
@@ -269,14 +331,12 @@ def snapshot_write(
         "entries": entries,
         "schema": df.schema.jsonValue(),
     }
-    _write_text_atomic(
+    # linearization point: creating v{N}.json is EXCLUSIVE, so of two
+    # writers that both read parent N-1, exactly one owns version N; the
+    # loser raises CommitConflict without touching the winner's manifest
+    _write_text_new(
         spark, f"{table}/{META}/v{version}.json", json.dumps(manifest)
     )
-    # linearization point: fail (don't clobber) if someone committed first
-    if current_version(spark, table) != parent:
-        raise CommitConflict(
-            f"{table}: version moved past {parent} during commit"
-        )
     _write_text_atomic(spark, f"{table}/{META}/VERSION", str(version))
     return version
 
@@ -482,9 +542,24 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
 
 def rollback(spark: SparkSession, table: str, version: int) -> int:
     """Metadata-only commit re-pointing the table at ``version``'s file
-    set (Iceberg ``rollback_to_snapshot``); history is preserved."""
+    set (Iceberg ``rollback_to_snapshot``); history is preserved.
+
+    Refuses to roll back to a version whose data directories
+    :func:`vacuum` has already reclaimed — committing such a manifest
+    would leave the CURRENT snapshot unreadable."""
     cur = current_version(spark, table)
     snap = load_snapshot(spark, table, version)
+    jvm, fs, _ = _hadoop_fs(spark, table)
+    missing = [
+        e["dir"]
+        for e in snap["entries"]
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{table}/{e['dir']}"))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot rollback {table} to v{version}: data dirs vacuumed "
+            f"({', '.join(missing)})"
+        )
     new_version = (cur or 0) + 1
     manifest = {
         "version": new_version,
@@ -494,34 +569,54 @@ def rollback(spark: SparkSession, table: str, version: int) -> int:
         "entries": snap["entries"],
         "schema": snap["schema"],
     }
-    _write_text_atomic(
+    _write_text_new(
         spark, f"{table}/{META}/v{new_version}.json", json.dumps(manifest)
     )
-    if current_version(spark, table) != cur:
-        raise CommitConflict(f"{table}: version moved during rollback")
     _write_text_atomic(spark, f"{table}/{META}/VERSION", str(new_version))
     return new_version
 
 
-def vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    spark: SparkSession,
+    table: str,
+    keep_last: int = 2,
+    orphan_grace_s: float = 3600.0,
+) -> list[str]:
     """Delete data directories referenced ONLY by snapshots older than the
     last ``keep_last`` versions; returns the removed dirs. Time travel
-    stays valid for every kept version (their file sets are untouched)."""
+    stays valid for every kept version (their file sets are untouched).
+
+    Directories referenced by NO manifest at all are either aborted
+    commits (safe to reclaim) or a commit IN FLIGHT — data written,
+    manifest not yet committed. The two are indistinguishable from the
+    filesystem, so unreferenced dirs are only removed once older than
+    ``orphan_grace_s`` (Iceberg's remove_orphan_files applies the same
+    age-based rule, default 3 days). Pass 0 to force-reclaim when no
+    writer can be active."""
+    import time
+
     cur = current_version(spark, table)
     if cur is None:
         return []
     keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
     keep_dirs = set()
-    for v in keep_versions:
+    referenced = set()
+    for v in range(1, cur + 1):
         for e in load_snapshot(spark, table, v)["entries"]:
-            keep_dirs.add(e["dir"])
+            referenced.add(e["dir"])
+            if v in keep_versions:
+                keep_dirs.add(e["dir"])
     jvm, fs, _ = _hadoop_fs(spark, table)
     data_path = jvm.org.apache.hadoop.fs.Path(f"{table}/{DATA}")
     removed = []
+    cutoff_ms = (time.time() - orphan_grace_s) * 1000.0
     if fs.exists(data_path):
         for st in fs.listStatus(data_path):
             rel = f"{DATA}/{st.getPath().getName()}"
-            if st.isDirectory() and rel not in keep_dirs:
-                fs.delete(st.getPath(), True)
-                removed.append(rel)
+            if not st.isDirectory() or rel in keep_dirs:
+                continue
+            if rel not in referenced and st.getModificationTime() > cutoff_ms:
+                continue  # possibly an in-flight commit — age it out
+            fs.delete(st.getPath(), True)
+            removed.append(rel)
     return removed

@@ -189,19 +189,20 @@ def run_image_gate_snapshot(
 
     gated = image_stream(spark, src_dir)
 
+    # each manifest is immutable, so it needs reading ONCE per sink
+    # lifetime: cache the committed-batch ids and only read manifests
+    # newer than the last version seen (without this, batch N re-reads
+    # all N-1 manifests and stream metadata I/O grows O(V^2))
+    _seen = {"upto": 0, "ids": set()}
+
     def committed_batches() -> set[int]:
         cur = SN.current_version(spark, out_table)
-        if cur is None:
-            return set()
-        ops = {
-            SN.load_snapshot(spark, out_table, v)["operation"]
-            for v in range(1, cur + 1)
-        }
-        return {
-            int(op.rsplit("_", 1)[1])
-            for op in ops
-            if op.startswith("stream_batch_")
-        }
+        for v in range((_seen["upto"] or 0) + 1, (cur or 0) + 1):
+            op = SN.load_snapshot(spark, out_table, v)["operation"]
+            if op.startswith("stream_batch_"):
+                _seen["ids"].add(int(op.rsplit("_", 1)[1]))
+        _seen["upto"] = max(_seen["upto"], cur or 0)
+        return _seen["ids"]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in committed_batches():

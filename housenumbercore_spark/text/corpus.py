@@ -61,10 +61,32 @@ def prepare_corpus(
 
     # one narrow pass attaches both scores (keep_cols pass-through) —
     # joining projections of docs back to docs would shuffle the full
-    # text twice for what is a map-only computation
-    q = TA.quality_score(docs, keep_cols=("text", "lang") + keep_cols)
-    enriched = TA.lang_id(q, keep_cols=("text", "quality") + keep_cols).select(
-        "doc_id", "text", "quality", "pred_lang", *keep_cols
+    # text twice for what is a map-only computation. keep_cols is deduped
+    # against the columns the stages project anyway ('lang'/'text' are the
+    # natural requests) and names that collide with enrichment OUTPUT
+    # columns are rejected up front — blindly appending them would select
+    # the same name twice and fail later with AMBIGUOUS_REFERENCE.
+    keep_cols = tuple(dict.fromkeys(keep_cols))  # stable de-dup
+    reserved = {
+        "doc_id", "n_chars", "n_tokens", "stopword_ratio",
+        "mean_token_len", "quality", "pred_lang", "lang_score",
+        "label_lang",
+    }
+    bad = [c for c in keep_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"keep_cols {bad} collide with enrichment output columns; "
+            "they are recomputed by prepare_corpus and cannot be threaded "
+            "through by name"
+        )
+    q = TA.quality_score(
+        docs, keep_cols=tuple(dict.fromkeys(("text", "lang") + keep_cols))
+    )
+    enriched = TA.lang_id(
+        q, keep_cols=tuple(dict.fromkeys(("text", "quality") + keep_cols))
+    ).select(
+        "doc_id", "text", "quality", "pred_lang",
+        *[c for c in keep_cols if c != "text"],
     )
 
     pass_q = F.col("quality") >= min_quality

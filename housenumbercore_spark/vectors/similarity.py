@@ -229,7 +229,14 @@ def kmeans_centroids(
     )
     rows = q.orderBy("__h", "vec_id").limit(sample_size).collect()
     X = np.array([r.qv for r in rows], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    # an all-zero quantized vector (zero embedding, or magnitudes below
+    # the grid step) would divide to NaN and poison every mean downstream
+    X = X[norms[:, 0] > 0]
+    norms = norms[norms[:, 0] > 0]
+    if not len(X):
+        raise ValueError("kmeans_centroids: every sampled vector is zero")
+    X /= norms
     k = min(n_centroids, len(X))
     C = X[:k].copy()
     for _ in range(iters):

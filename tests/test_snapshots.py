@@ -156,30 +156,75 @@ class TestHistoryRollbackVacuum:
                 _df(spark, [(1, 0, "a")]), table, ["id"], mode="append"
             )
 
-    def test_commit_conflict_detected_and_pointer_unmoved(
+    def test_commit_conflict_detected_and_winner_unclobbered(
         self, spark, table, monkeypatch
     ):
-        """Optimistic concurrency: if the pointer moves between parent read
-        and commit, the commit raises and the pointer is NOT clobbered; the
-        orphaned (uncommitted) data dir is reclaimed by vacuum."""
+        """Optimistic concurrency: two writers race for the same version
+        slot; the loser fails at the EXCLUSIVE manifest create, the
+        winner's committed manifest and the pointer are untouched (a
+        clobbering loser would silently replace committed contents), and
+        the loser's orphaned data dir is reclaimed by vacuum."""
+        SN.snapshot_write(
+            _df(spark, [(40, 0, "winner")]), table, ["bucket"], mode="append"
+        )
+        winner_manifest = SN.load_snapshot(spark, table, 2)
+        # the loser read parent=1 BEFORE the winner committed v2
         real = SN.current_version
-        calls = {"n": 0}
-
-        def racy(spark_, tbl):
-            calls["n"] += 1
-            v = real(spark_, tbl)
-            return v + 1 if calls["n"] == 2 else v  # pointer "moves"
-
-        monkeypatch.setattr(SN, "current_version", racy)
+        monkeypatch.setattr(SN, "current_version", lambda s, t: 1)
         with pytest.raises(SN.CommitConflict):
             SN.snapshot_write(
                 _df(spark, [(50, 0, "race")]), table, ["bucket"], mode="append"
             )
         monkeypatch.setattr(SN, "current_version", real)
+        assert SN.current_version(spark, table) == 2
+        assert SN.load_snapshot(spark, table, 2) == winner_manifest
+        assert SN.read_snapshot(spark, table).count() == 21
+        # grace 0: no writer is active, so the fresh orphan is reclaimable
+        removed = SN.vacuum(spark, table, keep_last=2, orphan_grace_s=0)
+        assert len(removed) == 1  # the loser's orphaned write
+        assert SN.read_snapshot(spark, table).count() == 21
+
+    def test_vacuum_grace_protects_inflight_write(self, spark, table):
+        """An unreferenced data dir younger than the grace period is a
+        possible IN-FLIGHT commit (data written, manifest pending) — the
+        default vacuum must not reclaim it."""
+        import uuid as _uuid
+
+        orphan = f"{table}/data/{_uuid.uuid4().hex}"
+        _df(spark, [(77, 0, "inflight")]).write.parquet(orphan)
+        removed = SN.vacuum(spark, table, keep_last=1)  # default grace
+        assert removed == []
+        removed = SN.vacuum(spark, table, keep_last=1, orphan_grace_s=0)
+        assert len(removed) == 1
+
+    def test_rollback_to_vacuumed_version_refused(self, spark, table):
+        """rollback must not re-point the table at data vacuum deleted —
+        that would brick the current snapshot."""
+        SN.snapshot_write(
+            _df(spark, [(1000, 0, "v2")]), table, ["bucket"], mode="overwrite"
+        )
+        SN.vacuum(spark, table, keep_last=1, orphan_grace_s=0)  # drops v1 dirs
+        with pytest.raises(ValueError, match="vacuumed"):
+            SN.rollback(spark, table, 1)
+        assert SN.current_version(spark, table) == 2
+        assert SN.read_snapshot(spark, table).count() == 1
+
+    def test_pointer_swap_window_fallback(self, spark, table):
+        """current_version falls back to the newest manifest when the
+        VERSION pointer file is momentarily absent (the delete->rename
+        swap window on filesystems without overwriting rename, or a crash
+        between manifest write and pointer flip)."""
+        import os
+
+        os.remove(f"{table}/_meta/VERSION")
         assert SN.current_version(spark, table) == 1
         assert SN.read_snapshot(spark, table).count() == 20
-        removed = SN.vacuum(spark, table, keep_last=1)
-        assert len(removed) == 1  # the orphaned write
+        # a subsequent commit heals the pointer
+        SN.snapshot_write(
+            _df(spark, [(2000, 0, "heal")]), table, ["bucket"], mode="append"
+        )
+        with open(f"{table}/_meta/VERSION") as f:
+            assert f.read().strip() == "2"
 
 
 class TestMergeOnSnapshot:

@@ -157,7 +157,7 @@ def test_snapshot_sink_crash_replay_commit_level_exactly_once(
     assert res["accepted_total"] == 12
     assert SN.read_snapshot(spark, tbl).count() == 12  # no torn/dup rows
     # the orphan is reclaimable, the committed dirs survive
-    removed = SN.vacuum(spark, tbl, keep_last=10)
+    removed = SN.vacuum(spark, tbl, keep_last=10, orphan_grace_s=0)
     assert any(orphan.endswith(r.split("/")[-1]) for r in removed)
     assert SN.read_snapshot(spark, tbl).count() == 12
 

@@ -548,6 +548,49 @@ def test_prepare_corpus_materialized_once_and_keep_cols(spark):
     assert rep["neardup_keep_one"][1] == kept.count()
 
 
+def test_prepare_corpus_keep_cols_overlapping_projection(spark):
+    """keep_cols naming a column the enrichment already projects ('lang',
+    'text') must thread it once, not select it twice (AMBIGUOUS_REFERENCE);
+    names that collide with enrichment OUTPUT columns fail fast."""
+    import pytest
+
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import corpus as C
+
+    docs = P.documents_df(spark, SF)
+    kept, _ = C.prepare_corpus(docs, keep_cols=("lang", "text"))
+    assert kept.columns == ["doc_id", "text", "quality", "pred_lang", "lang"]
+    joined = kept.select("doc_id", "lang").join(
+        docs.select("doc_id", docs.lang.alias("l0")), "doc_id"
+    )
+    assert joined.filter("lang <> l0").count() == 0
+    with pytest.raises(ValueError, match="collide"):
+        C.prepare_corpus(docs, keep_cols=("n_tokens",))
+
+
+def test_kmeans_centroids_skip_zero_vectors(spark):
+    """An all-zero embedding in the training sample must not poison the
+    centroids with NaN (norm division) — it is skipped."""
+    import pandas as pd
+
+    from housenumbercore_spark.vectors import similarity as V
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [f"v{i}" for i in range(8)],
+            "embedding": [[0.0, 0.0, 0.0]] + [
+                [float(i), 1.0, 0.5 * i] for i in range(1, 8)
+            ],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    cents = V.kmeans_centroids(emb, n_centroids=3, sample_size=8, iters=3)
+    assert len(cents) == 3
+    for _, qv, sq in cents:
+        assert all(v == int(v) for v in qv)
+        assert sq > 0  # no NaN/zero centroid
+
+
 def test_prepare_corpus_accepts_tuple_languages(spark):
     """Column.isin unpacks a list but treats a TUPLE as one unsupported
     array literal — prepare_corpus must normalize any iterable (the
