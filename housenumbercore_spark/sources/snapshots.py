@@ -256,11 +256,20 @@ def snapshot_write(
         )
     writer.parquet(data_dir)
     jvm_fs = _hadoop_fs(spark, data_dir)
-    try:
+    # deterministic zero-row detection (a broad except here would turn a
+    # genuinely failed read-back into a silent empty commit): a zero-row
+    # partitioned write leaves no part files, only _SUCCESS
+    jvm, fs, jdir = jvm_fs
+    it = fs.listFiles(jdir, True)
+    has_parts = False
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            has_parts = True
+            break
+    n_rows = 0
+    if has_parts:
         written = spark.read.schema(df.schema).parquet(data_dir)
         n_rows = written.count()
-    except Exception:  # only _SUCCESS inside: a zero-row partitioned write
-        n_rows = 0
     entry = None
     new_parts: list[list] = []
     new_parts_str: list[list] = []
@@ -276,7 +285,7 @@ def snapshot_write(
         # a zero-row commit carries no data dir (an empty partitioned
         # parquet dir has no readable schema) — the manifest alone carries
         # the change (e.g. a merge that only deletes); drop the empty dir
-        jvm_fs[1].delete(jvm_fs[2], True)
+        fs.delete(jdir, True)
     if mode == "append":
         entries = parent_entries + ([entry] if entry else [])
     elif mode == "overwrite":
