@@ -53,26 +53,28 @@ class PartitionManifest:
     pixel_digest: int | None = None  # xor over the per-image phash column
 
 
-def row_digest_col(df: DataFrame):
+# THE row-hash definition: 60 bits of md5 over the canonical JSON of all
+# columns. Single source of truth — the manifest writer (compute_stats) and
+# the verifier (compute_digest) must agree bit for bit or every
+# resume/verify comparison breaks.
+_ROW_DIGEST_SQL = (
+    "cast(conv(substring(md5(to_json(struct(*))), 1, 15), 16, 10) as bigint)"
+)
+
+
+def row_digest_col(df: DataFrame | None = None):
     """60-bit row hash over the canonical JSON of all columns."""
-    return F.expr(
-        "cast(conv(substring(md5(to_json(struct(*))), 1, 15), 16, 10) as bigint)"
-    )
+    return F.expr(_ROW_DIGEST_SQL)
 
 
 CELL_COL_CANDIDATES = ("cell", "tile_id", "__cell")
 
 
 def compute_digest(df: DataFrame) -> tuple[int, int]:
-    """(row_count, order-independent xor digest) in one aggregate."""
-    row = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            "bit_xor(cast(conv(substring(md5(to_json(struct(*))), 1, 15), 16, 10)"
-            " as bigint))"
-        ).alias("d"),
-    ).collect()[0]
-    return int(row.n), int(row.d if row.d is not None else 0)
+    """(row_count, order-independent xor digest) — the verify-side view of
+    :func:`compute_stats` (same single pass, same digest definition)."""
+    s = compute_stats(df)
+    return s["row_count"], s["value_digest"]
 
 
 def compute_stats(df: DataFrame) -> dict:
@@ -81,10 +83,7 @@ def compute_stats(df: DataFrame) -> dict:
     digest (when a ``phash`` column exists). One pass, map-side combinable."""
     aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.expr(
-            "bit_xor(cast(conv(substring(md5(to_json(struct(*))), 1, 15), 16, 10)"
-            " as bigint))"
-        ).alias("d"),
+        F.expr(f"bit_xor({_ROW_DIGEST_SQL})").alias("d"),
     ]
     cell = next((c for c in CELL_COL_CANDIDATES if c in df.columns), None)
     if cell:

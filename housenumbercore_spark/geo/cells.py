@@ -228,6 +228,30 @@ def cell_col(lon: Column | str, lat: Column | str, res: int) -> Column:
     )
 
 
+def pack_col(res: int, ix: Column, iy: Column) -> Column:
+    """Column-side cell-id packing — the Catalyst twin of :func:`pack`.
+    Operators that rebuild cell ids from index arithmetic (k-ring
+    expansion, segment bbox covers) MUST use this so the grid keeps
+    exactly one id definition across numpy, Spark and SQL."""
+    return (
+        F.lit(int(res)).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+        + ix.cast("long") * F.lit(1 << _IX_SHIFT).cast("long")
+        + iy.cast("long")
+    )
+
+
+def cell_ix_col(cell: Column | str) -> Column:
+    """Column-side :func:`cell_ix` (x index from a packed id)."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    return F.shiftright(cell, _IX_SHIFT) % F.lit(1 << (_RES_SHIFT - _IX_SHIFT))
+
+
+def cell_iy_col(cell: Column | str) -> Column:
+    """Column-side :func:`cell_iy` (y index from a packed id)."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    return cell % F.lit(1 << _IX_SHIFT)
+
+
 def cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
     """ANSI-SQL string computing the identical cell id (DuckDB oracle)."""
     n = 1 << res

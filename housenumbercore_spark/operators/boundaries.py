@@ -28,13 +28,19 @@ def suburbs_within_buffered(
     Reference: `ST_Within(way, ST_Buffer(muni_poly, 0.03))`
     (MunicipalityArea.java:675-709). Spark-first: both sides are dimension
     tables (admin areas), so this is a broadcast cross join + vectorized
-    geometry refine — never a shuffle. The refine checks every vertex of the
-    suburb polygon against the buffered container; for convex containers
-    (admin bounding shapes here) vertex containment is exactly ST_Within.
-    Buffering expands the container bbox — for axis-aligned convex
-    containers this matches PostGIS' buffer semantics on the containment
-    verdict whenever the margin is not within float-eps of the buffer
-    distance.
+    geometry refine — never a shuffle.
+
+    APPROXIMATION, stated plainly: the refine checks every suburb-polygon
+    vertex against the buffered bounding BOX of the container (the
+    ``containers`` input carries only bbox columns), not the buffered
+    container POLYGON the reference uses. The two verdicts coincide when
+    the container is (near-)rectangular — true for this engine's synthetic
+    worlds and common for small communes — but an L-shaped municipality
+    admits suburbs sitting in its concave notch that ST_Buffer(muni_poly)
+    would reject. Closing that gap needs the container polygons in the
+    input and a vertex distance-to-polygon ≤ buffer test (point ∈
+    buffered polygon ⟺ distance(point, polygon) ≤ buffer); the bbox form
+    is kept as the committed oracle semantics.
 
     suburbs:    (area_id, name, polygon WKB)
     containers: (area_id, name, xmin, ymin, xmax, ymax)

@@ -64,18 +64,17 @@ def expand_targets_to_ring(
     spark = targets.sparkSession
     n = 1 << res
     t = targets.withColumn("__c", C.cell_col(lon, lat, res))
-    ix = F.shiftright("__c", 29) % F.lit(1 << 29)  # integer ops: no float division
-    iy = F.col("__c") % F.lit(1 << 29)
+    # integer unpack/repack through the grid's single definition
+    ix = C.cell_ix_col("__c")
+    iy = C.cell_iy_col("__c")
     offs = F.broadcast(_ring_offsets_df(spark, k))
     expanded = (
         t.crossJoin(offs)
         .filter((iy + F.col("dy") >= 0) & (iy + F.col("dy") <= n - 1))
         .select(
             "*",
-            (
-                F.lit(res).cast("long") * F.lit(1 << 58)
-                + F.pmod(ix + F.col("dx"), F.lit(n)) * F.lit(1 << 29)
-                + (iy + F.col("dy"))
+            C.pack_col(
+                res, F.pmod(ix + F.col("dx"), F.lit(n)), iy + F.col("dy")
             ).alias("cell"),
         )
     )
@@ -143,9 +142,12 @@ def knn_nearest(
     if dim_strategy == "auto":
         dim_strategy = _dim_strategy_auto(dim)
     if dim_strategy == "broadcast":
-        cand = pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"]).drop(
-            "cell", "__cell"
-        )
+        # internal name for the dim join column — dropping 'cell' by name
+        # would also clobber a points payload column called 'cell'
+        dimr = dim.withColumnRenamed("cell", "__dim_cell")
+        cand = pts.join(
+            F.broadcast(dimr), pts["__cell"] == dimr["__dim_cell"]
+        ).drop("__dim_cell", "__cell")
     elif dim_strategy == "shuffle":
         from .pip_join import salted_cell_join
 

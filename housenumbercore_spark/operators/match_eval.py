@@ -114,6 +114,14 @@ def match_evaluation(
     Both inputs must already be unique per (keys, hnr_key) — official via
     first-wins dedup (HousenumberList.addHousenumber:161-173), OSM via
     :func:`best_osm_object`.
+
+    NULL key components (a NULL street, a NULL housenumber key) never
+    match across sides — a deliberate choice, not an oversight: the
+    reference evaluates these joins in PostgreSQL, whose ``=`` has the
+    same NULL semantics, so an official row and an OSM row that agree
+    only up to a NULL key count as 'l' + 'o' there too. (The merge/upsert
+    sinks differ: their keys are row identities, where NULL must match
+    NULL for the diff to converge — see operators/merge.py.)
     """
     join_cols = [*keys, hnr_key]
     off = official.withColumn("__off", F.lit(1))

@@ -24,18 +24,35 @@ def merge_actions(
     compare: list[str],
 ) -> DataFrame:
     """Full-outer diff: one row per key with action ∈ insert/update/
-    unchanged/delete plus the surviving (post-merge) values."""
+    unchanged/delete plus the surviving (post-merge) values.
+
+    Keys join NULL-SAFELY (NULL = NULL), like the hardened upsert sinks
+    (sinks.merge_upsert_partitioned, snapshots.merge_upsert_snapshot_table):
+    a plain equality join would split a NULL-keyed row into a perpetual
+    delete+insert pair and the diff would never converge. The reference's
+    Workcache keys are primary keys (non-NULL), so behavior there is
+    unchanged."""
+    import functools
+
     b = base.select(
-        *keys,
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
         *[F.col(c).alias(f"__b_{c}") for c in compare],
         F.lit(True).alias("__b_present"),
     )
     u = updates.select(
-        *keys,
+        *[F.col(k).alias(f"__uk_{k}") for k in keys],
         *[F.col(c).alias(f"__u_{c}") for c in compare],
         F.lit(True).alias("__u_present"),
     )
-    j = b.join(u, keys, "full_outer")
+    cond = functools.reduce(
+        lambda a, c: a & c,
+        [F.col(f"__bk_{k}").eqNullSafe(F.col(f"__uk_{k}")) for k in keys],
+    )
+    j = b.join(u, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"__bk_{k}"), F.col(f"__uk_{k}")).alias(k)
+        for k in keys
+    ]
     in_b = F.col("__b_present").isNotNull()
     in_u = F.col("__u_present").isNotNull()
     changed = F.lit(False)
@@ -56,7 +73,7 @@ def merge_actions(
         F.when(in_u, F.col(f"__u_{c}")).otherwise(F.col(f"__b_{c}")).alias(c)
         for c in compare
     ]
-    return j.select(*keys, *out_vals, action.alias("action"))
+    return j.select(*key_cols, *out_vals, action.alias("action"))
 
 
 def apply_merge(actions_df: DataFrame, keys: list[str], compare: list[str]) -> DataFrame:

@@ -241,9 +241,13 @@ def cover_cells(
     return areas.select(id_col, wkb_col).mapInPandas(gen, out_schema)
 
 
-def jvm_refine_expr(lon: str = "lon", lat: str = "lat") -> F.Column:
-    """Exact point-in-polygon (boundary-inclusive, ST_Covers) as a pure
-    whole-stage-codegen expression over the cover_cells refine payload:
+def jvm_refine_expr(
+    lon: str = "lon", lat: str = "lat", predicate: str = "covers"
+) -> F.Column:
+    """Exact point-in-polygon as a pure whole-stage-codegen expression over
+    the cover_cells refine payload — boundary-inclusive (``covers``,
+    ST_Covers, the default) or strict (``contains``, ST_Contains; the only
+    difference is whether a point exactly ON a stored edge is accepted):
     even-odd parity transported from the cell's reference point along the
     segment ref→point, counting crossings with the cell's stored edges.
 
@@ -276,8 +280,11 @@ def jvm_refine_expr(lon: str = "lon", lat: str = "lat") -> F.Column:
         f"AND ({lon}) >= least(e[0], e[2]) AND ({lon}) <= greatest(e[0], e[2]) "
         f"AND ({lat}) >= least(e[1], e[3]) AND ({lat}) <= greatest(e[1], e[3]))"
     )
+    if predicate not in ("covers", "contains"):
+        raise ValueError(f"unknown predicate {predicate!r}")
+    edge_result = "true" if predicate == "covers" else "false"
     return F.expr(
-        f"CASE WHEN {on_edge} THEN true "
+        f"CASE WHEN {on_edge} THEN {edge_result} "
         f"ELSE ref_inside != (({crossings}) % 2 = 1) END"
     )
 
@@ -346,11 +353,7 @@ def seg_cover_cells_cols(
     hi_y = idx(F.greatest(F.col(y0), F.col(y1)), 90.0, 180.0)
     d = df.withColumn("__gx", F.explode(F.sequence(lo_x, hi_x)))
     d = d.withColumn("__gy", F.explode(F.sequence(lo_y, hi_y)))
-    cell = (
-        F.lit(res).cast("long") * F.lit(1 << 58)
-        + F.col("__gx") * F.lit(1 << 29)
-        + F.col("__gy")
-    )
+    cell = C.pack_col(res, F.col("__gx"), F.col("__gy"))
     return d.withColumn(out, cell).drop("__gx", "__gy")
 
 
@@ -424,13 +427,21 @@ def assign_points_to_areas(
     dim = cover_cells(areas, res, id_col=id_col, wkb_col=wkb_col)
     refine_cols = ["full", "ref_x", "ref_y", "ref_inside", "edges"]
     pts = points.withColumn("__cell", C.cell_col(lon, lat, res))
-    cand = pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner").drop(
-        "cell", "__cell"
-    )
+    # internal name for the dim join column — dropping 'cell' by name
+    # would also clobber a points payload column called 'cell'
+    dim = dim.withColumnRenamed("cell", "__dim_cell")
+    cand = pts.join(
+        F.broadcast(dim), pts["__cell"] == dim["__dim_cell"], "inner"
+    ).drop("__dim_cell", "__cell")
     if not exact:
         return cand.drop(*refine_cols)
     if refine == "jvm":
-        return cand.filter(jvm_refine_expr(lon, lat)).drop(*refine_cols)
+        # predicate reaches the codegen refine too (a silently-ignored
+        # 'contains' here would return boundary points for BOTH areas
+        # sharing an edge while the caller asked for strict containment)
+        return cand.filter(
+            jvm_refine_expr(lon, lat, predicate=predicate)
+        ).drop(*refine_cols)
     # python path: interior cells accepted by construction, boundary cells
     # through the vectorized exact kernel; the polygon WKB reaches the
     # refine via a broadcast dim join (no driver-side collect)
@@ -456,15 +467,20 @@ def salted_cell_join(
     spreads over ``n_salt`` reducers. AQE skew-join handles residual skew.
     """
     pts = points.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), n_salt))
-    dim = dim_cells.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
-    ).withColumn("__salt", F.col("__salt").cast("long"))
+    # the dim's join column gets an internal name BEFORE the join: dropping
+    # a column literally named 'cell' afterwards would also clobber a
+    # points payload column of that name
+    dim = (
+        dim_cells.withColumnRenamed("cell", "__dim_cell")
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        .withColumn("__salt", F.col("__salt").cast("long"))
+    )
     joined = pts.join(
         dim,
-        (pts[cell_col_name] == dim["cell"]) & (pts["__salt"] == dim["__salt"]),
+        (pts[cell_col_name] == dim["__dim_cell"]) & (pts["__salt"] == dim["__salt"]),
         "inner",
     )
-    return joined.drop("__salt", "cell")
+    return joined.drop("__salt", "__dim_cell")
 
 
 def tile_assign(points: DataFrame, res: int, lon: str = "lon", lat: str = "lat",

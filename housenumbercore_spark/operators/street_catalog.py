@@ -61,14 +61,18 @@ def streets_in_areas(
 
     if res is None:
         res = pick_join_res(areas)
-    dim = cover_cells(areas, res)
+    # persist: the per-polygon Python cover computation feeds TWO broadcast
+    # builds (endpoint join + boundary-only crossing join); without the
+    # cache it would execute twice per call
+    dim = cover_cells(areas, res).persist()
     refine_cols = ["full", "ref_x", "ref_y", "ref_inside", "edges"]
 
     pts = streets.withColumn("__cell", C.cell_col("x0", "y0", res))
+    dimr = dim.withColumnRenamed("cell", "__dim_cell")
     ep = (
-        pts.join(F.broadcast(dim), pts["__cell"] == dim["cell"], "inner")
+        pts.join(F.broadcast(dimr), pts["__cell"] == dimr["__dim_cell"], "inner")
         .filter(jvm_refine_expr("x0", "y0"))
-        .drop("cell", "__cell", *refine_cols)
+        .drop("__dim_cell", "__cell", *refine_cols)
     )
 
     boundary_dim = dim.filter(~F.col("full"))

@@ -181,16 +181,21 @@ updates AS (
   SELECT source_id + 10000000 AS source_id, street, housenumber || 'n'
   FROM base WHERE source_id % 17 = 0),
 diff AS (
+  -- null-safe key join + presence flags, mirroring merge_actions (a NULL
+  -- key must match a NULL key, and presence cannot be inferred from the
+  -- key column once keys may be NULL)
   SELECT COALESCE(b.source_id, u.source_id) AS source_id,
-         CASE WHEN u.source_id IS NOT NULL THEN u.street ELSE b.street END AS street,
-         CASE WHEN u.source_id IS NOT NULL THEN u.housenumber
+         CASE WHEN u.p THEN u.street ELSE b.street END AS street,
+         CASE WHEN u.p THEN u.housenumber
               ELSE b.housenumber END AS housenumber,
-         CASE WHEN b.source_id IS NULL THEN 'insert'
-              WHEN u.source_id IS NULL THEN 'delete'
+         CASE WHEN b.p IS NULL THEN 'insert'
+              WHEN u.p IS NULL THEN 'delete'
               WHEN b.street IS DISTINCT FROM u.street
                 OR b.housenumber IS DISTINCT FROM u.housenumber THEN 'update'
               ELSE 'unchanged' END AS action
-  FROM base b FULL OUTER JOIN updates u ON b.source_id = u.source_id)"""
+  FROM (SELECT *, TRUE AS p FROM base) b
+  FULL OUTER JOIN (SELECT *, TRUE AS p FROM updates) u
+    ON b.source_id IS NOT DISTINCT FROM u.source_id)"""
 
 
 def merge_diff_sql() -> str:

@@ -229,9 +229,50 @@ def merge_upsert_partitioned(
         .select(*partition_cols)
         .dropDuplicates()
     ).dropDuplicates()
-    kept = current.alias("__cur").join(
-        touched.alias("__tch"), ns_part("__cur", "__tch"), "left_semi"
-    )
+    # Collect the touched partition tuples FIRST (partition-count scale,
+    # never row scale): raw values feed a pushed-down partition filter,
+    # JVM-rendered strings compare equal to the directory names later.
+    touched_rows = touched.select(
+        *partition_cols,
+        *[F.col(c).cast("string").alias(f"__s_{c}") for c in partition_cols],
+    ).collect()
+    # Build 'kept' from a partition-pruned scan when the touched set is
+    # small: the semi-join variant re-reads the WHOLE table to keep rows
+    # of a handful of partitions, while an OR-of-tuple-equalities filter
+    # on partition columns prunes the parquet scan to exactly the touched
+    # directories (on a 10^5-partition table this halves the merge's
+    # dominant I/O). Beyond the cap the filter expression would bloat the
+    # plan — fall back to the semi-join.
+    if len(touched_rows) <= 128:
+
+        def tuple_cond(row):
+            conds = []
+            for c in partition_cols:
+                v = row[c]
+                col = F.col(c)
+                if v is None or v == "":
+                    # hive conflates NULL and '' in one partition
+                    cond = (
+                        col.isNull() | (col == "")
+                        if c in str_cols
+                        else col.isNull()
+                    )
+                else:
+                    cond = col == F.lit(v)
+                conds.append(cond)
+            return functools.reduce(lambda a, b: a & b, conds)
+
+        kept = current.filter(
+            functools.reduce(
+                lambda a, b: a | b,
+                [tuple_cond(r) for r in touched_rows],
+                F.lit(False),
+            )
+        )
+    else:
+        kept = current.alias("__cur").join(
+            touched.alias("__tch"), ns_part("__cur", "__tch"), "left_semi"
+        )
     kept = kept.alias("__k1").join(
         upd_keys.alias("__u"), ns("__k1", "__u", keys), "left_anti"
     )
@@ -240,11 +281,6 @@ def merge_upsert_partitioned(
             del_keys.alias("__d2"), ns("__k2", "__d2", keys), "left_anti"
         )
     merged = kept.unionByName(updates.select(*current.columns))
-    # partition-count-scale collect, never row scale; values rendered to
-    # strings by the JVM so they compare equal to the directory names
-    touched_rows = touched.select(
-        *[F.col(c).cast("string").alias(c) for c in partition_cols]
-    ).collect()
 
     run_id = uuid.uuid4().hex
     stage_name, trash_name = f"_stage_{run_id}", f"_old_{run_id}"
@@ -264,7 +300,8 @@ def merge_upsert_partitioned(
         # decoded as None), so an empty-string value normalizes to None
         # before any directory matching
         want = tuple(
-            None if row[c] == "" else row[c] for c in partition_cols
+            None if row[f"__s_{c}"] == "" else row[f"__s_{c}"]
+            for c in partition_cols
         )
         if want not in staged_vals:
             rel = _fs_find_partition_dir(fs, root, want)

@@ -125,3 +125,33 @@ def test_cell_sql_matches_numpy():
         ).fetchnumpy()["c"]
         want = cells.encode_cells(lon, lat, res)
         assert (got.astype(np.int64) == want).all(), f"res={res}"
+
+
+def test_pack_col_matches_numpy(spark):
+    """Column-side pack/unpack (pack_col/cell_ix_col/cell_iy_col) must be
+    bit-identical to the numpy kernel — the ring-expansion and segment-
+    cover joins rebuild cell ids through these helpers."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    res = 13
+    n = 1 << res
+    ix = rng.integers(0, n, 500)
+    iy = rng.integers(0, n, 500)
+    df = spark.createDataFrame(pd.DataFrame({"ix": ix, "iy": iy}))
+    got = (
+        df.select(
+            cells.pack_col(res, F.col("ix"), F.col("iy")).alias("c")
+        )
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    want = cells.pack(res, ix, iy)
+    assert (got == want).all()
+    # unpack round-trip
+    back = spark.createDataFrame(pd.DataFrame({"c": want})).select(
+        cells.cell_ix_col("c").alias("x"), cells.cell_iy_col("c").alias("y")
+    ).toPandas()
+    assert (back["x"].to_numpy() == ix).all()
+    assert (back["y"].to_numpy() == iy).all()

@@ -109,6 +109,26 @@ def test_hnr_explode_semantics(spark):
     ]
 
 
+def test_merge_null_key_converges(spark):
+    """A NULL merge key must match NULL-SAFELY (like the upsert sinks):
+    plain equality would emit a perpetual delete+insert pair and the diff
+    would never converge."""
+    from housenumbercore_spark.operators import merge as M
+
+    base = spark.createDataFrame([(None, "A"), (1, "B")], "k int, v string")
+    updates = spark.createDataFrame(
+        [(None, "A"), (1, "B2")], "k int, v string"
+    )
+    acts = {
+        (r.k, r.v): r.action
+        for r in M.merge_actions(base, updates, ["k"], ["v"]).collect()
+    }
+    assert acts == {(None, "A"): "unchanged", (1, "B2"): "update"}
+    snap = M.apply_merge(M.merge_actions(base, updates, ["k"], ["v"]), ["k"], ["v"])
+    again = M.merge_actions(snap, updates, ["k"], ["v"])
+    assert {r.action for r in again.collect()} == {"unchanged"}
+
+
 def test_merge_null_update_wins(spark):
     """An update that NULLs a compared column must null it in the snapshot
     (coalesce would silently revert it and the diff would never converge)."""

@@ -204,3 +204,39 @@ def test_tile_assign_pure_codegen(spark, world):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # no UDF on the tile path
     assert out.select(F.countDistinct("tile_id")).collect()[0][0] > 10
+
+
+def test_payload_cell_column_survives_join(spark, world):
+    """A points payload column literally named 'cell' (one of the names
+    checkpoint manifests look for) must pass through the cell joins — the
+    internal dim join column is renamed, not dropped by user-visible name."""
+    pts, areas = world
+    from housenumbercore_spark.operators import pip_join as PJ
+
+    tagged = pts.withColumn("cell", F.lit(42).cast("long"))
+    out = PJ.assign_points_to_areas(spark, tagged, areas)
+    assert "cell" in out.columns
+    assert out.filter(F.col("cell") != 42).count() == 0
+
+
+def test_jvm_strict_contains_excludes_boundary_point(spark):
+    """predicate='contains' must reach the JVM refine: a point exactly ON
+    a polygon edge is covers-included but contains-excluded."""
+    from housenumbercore_spark.geo import geometry as G
+    from housenumbercore_spark.operators import pip_join as PJ
+
+    areas = spark.createDataFrame(
+        [("a", bytearray(G.box_wkb(0.0, 0.0, 10.0, 10.0)))],
+        "area_id string, polygon binary",
+    )
+    pts = spark.createDataFrame(
+        [(1, 5.0, 0.0), (2, 5.0, 5.0)], "point_id int, lon double, lat double"
+    )
+    covers = PJ.assign_points_to_areas(
+        spark, pts, areas, res=7, predicate="covers"
+    )
+    contains = PJ.assign_points_to_areas(
+        spark, pts, areas, res=7, predicate="contains"
+    )
+    assert sorted(r.point_id for r in covers.collect()) == [1, 2]
+    assert sorted(r.point_id for r in contains.collect()) == [2]
