@@ -356,3 +356,48 @@ def test_find_partition_dir_skips_metadata_dirs(spark):
     ]
     assert SK._fs_find_partition_dir(fs, root, ("plain",)) == ["city=plain"]
     assert SK._fs_find_partition_dir(fs, root, ("nope",)) is None
+
+
+def test_merge_sink_and_snapshot_merge_agree(spark, tmp_path):
+    """Anti-drift guard for the two Workcache merge implementations
+    (sinks.merge_upsert_partitioned and snapshots.merge_upsert_snapshot_table
+    derive touched/kept independently): identical inputs — including a
+    partition-moving update, a delete emptying a partition, NULL and ''
+    partition values — must yield identical final table contents."""
+    from housenumbercore_spark.sources import snapshots as SN
+
+    rows = [
+        (1, "a", "v1"), (2, "a", "v2"), (3, "b", "v3"), (4, "b", "v4"),
+        (5, None, "v5"), (6, "", "v6"), (7, "c", "v7"),
+    ]
+    schema = "k int, part string, v string"
+    upd = [
+        (2, "a", "v2x"),     # in-place update
+        (3, "d", "v3moved"),  # moves partition b -> d
+        (5, None, "v5x"),     # NULL partition update
+        (8, "a", "v8new"),    # insert
+    ]
+    dels = [(7,)]  # empties partition c
+
+    base1 = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "sink_tbl")
+    SK.write_partitioned(base1, path, ["part"], dynamic=False)
+    SK.merge_upsert_partitioned(
+        spark, path, spark.createDataFrame(upd, schema), ["k"], ["part"],
+        deletes=spark.createDataFrame(dels, "k int"),
+    )
+    got_sink = spark.read.parquet(path)
+
+    tbl = str(tmp_path / "snap_tbl")
+    SN.snapshot_write(
+        spark.createDataFrame(rows, schema), tbl, ["part"], mode="append"
+    )
+    SN.merge_upsert_snapshot_table(
+        spark, tbl, spark.createDataFrame(upd, schema), ["k"],
+        deletes=spark.createDataFrame(dels, "k int"),
+    )
+    got_snap = SN.read_snapshot(spark, tbl)
+
+    a = sorted((r.k, r.part, r.v) for r in got_sink.collect())
+    b = sorted((r.k, r.part, r.v) for r in got_snap.collect())
+    assert a == b, f"sink {a}\nsnap {b}"
