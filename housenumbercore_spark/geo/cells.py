@@ -150,11 +150,11 @@ def cover_bbox(
     """
     n = 1 << res
     c0 = encode_cells(np.array([lon_min]), np.array([lat_min]), res)[0]
-    c1 = encode_cells(
-        np.array([np.nextafter(lon_max, -np.inf) if lon_max > lon_min else lon_max]),
-        np.array([np.nextafter(lat_max, -np.inf) if lat_max > lat_min else lat_max]),
-        res,
-    )[0]
+    # hi index = the cell (lon_max, lat_max) ITSELF encodes to: when the max
+    # edge lies exactly on a cell boundary, boundary points encode into the
+    # NEXT cell, and excluding it (an earlier nextafter-shrink did) broke
+    # the superset guarantee every cover consumer relies on
+    c1 = encode_cells(np.array([lon_max]), np.array([lat_max]), res)[0]
     x0, x1 = int(cell_ix(np.int64(c0))), int(cell_ix(np.int64(c1)))
     y0, y1 = int(cell_iy(np.int64(c0))), int(cell_iy(np.int64(c1)))
     xs = np.arange(x0, min(x1, n - 1) + 1, dtype=np.int64)

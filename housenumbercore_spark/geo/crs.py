@@ -95,9 +95,13 @@ def with_wgs84(df, x_col: str, y_col: str, srid_col: str):
     def _transform(x, y, srid):
         xv = x.to_numpy(dtype=np.float64)
         yv = y.to_numpy(dtype=np.float64)
-        lon = np.empty_like(xv)
-        lat = np.empty_like(yv)
+        # NaN-init (not empty): rows whose srid is NULL/unmatched must come
+        # out as NULL lon/lat, never as uninitialized memory
+        lon = np.full_like(xv, np.nan)
+        lat = np.full_like(yv, np.nan)
         for s in pd.unique(srid):
+            if pd.isna(s):
+                continue  # NULL srid → NULL lon/lat for those rows
             m = (srid == s).to_numpy()
             lon[m], lat[m] = transform_to_wgs84(xv[m], yv[m], int(s))
         return pd.DataFrame({"lon": lon, "lat": lat})
@@ -123,6 +127,9 @@ def transform_to_wgs84(
         return webmercator_to_wgs84(x, y)
     if 25828 <= srid <= 25838:
         zone = srid - 25800
-        x = np.where(x > 32e6, x - zone * 1e6, x)
+        # prefixed easting = zone glued in front of a <1e6 easting, so the
+        # millions digit equals the zone (generalizes the reference's
+        # 25832-only 'x > 32e6' trigger to every ETRS89 zone)
+        x = np.where(np.floor(x / 1e6) == zone, x - zone * 1e6, x)
         return utm_to_wgs84(x, y, zone)
     raise ValueError(f"unsupported SRID {srid}")

@@ -136,28 +136,43 @@ def parse_wkb(buf: bytes | bytearray | memoryview):
 def _parse_at(mv: memoryview, off: int):
     byte_order = mv[off]
     fmt = "<" if byte_order == 1 else ">"
-    (gtype,) = struct.unpack_from(fmt + "I", mv, off + 1)
+    (gtype_raw,) = struct.unpack_from(fmt + "I", mv, off + 1)
     off += 5
-    gtype &= 0xFF  # strip SRID/Z flags if present in high bytes
+    # EWKB (PostGIS) flag bits and ISO/SQL-MM +1000/+2000 type offsets:
+    # both declare extra Z/M ordinates per coordinate, and EWKB's SRID
+    # flag means 4 extra header bytes — all of which must be CONSUMED,
+    # not just masked off, or every later offset is garbage
+    has_srid = bool(gtype_raw & 0x20000000)
+    ewkb_z = bool(gtype_raw & 0x80000000)
+    ewkb_m = bool(gtype_raw & 0x40000000)
+    base = gtype_raw & 0x0FFFFFFF
+    iso = base // 1000  # 0 plain, 1 Z, 2 M, 3 ZM
+    gtype = base % 1000
+    ndims = 2 + int(ewkb_z or iso in (1, 3)) + int(ewkb_m or iso in (2, 3))
+    if has_srid:
+        off += 4  # embedded SRID (EWKB)
+
+    def coords(n: int, off: int) -> tuple[np.ndarray, int]:
+        arr = np.frombuffer(
+            mv, dtype=fmt + "f8", count=ndims * n, offset=off
+        ).reshape(n, ndims)
+        return arr[:, :2].copy(), off + 8 * ndims * n
+
     if gtype == _WKB_POINT:
-        x, y = struct.unpack_from(fmt + "dd", mv, off)
-        return ("point", (x, y)), off + 16
+        pt, off = coords(1, off)
+        return ("point", (float(pt[0, 0]), float(pt[0, 1]))), off
     if gtype == _WKB_LINESTRING:
         (n,) = struct.unpack_from(fmt + "I", mv, off)
-        off += 4
-        arr = np.frombuffer(mv, dtype=fmt + "f8", count=2 * n, offset=off).reshape(n, 2).copy()
-        return ("linestring", arr), off + 16 * n
+        arr, off = coords(n, off + 4)
+        return ("linestring", arr), off
     if gtype == _WKB_POLYGON:
         (nr,) = struct.unpack_from(fmt + "I", mv, off)
         off += 4
         rings = []
         for _ in range(nr):
             (n,) = struct.unpack_from(fmt + "I", mv, off)
-            off += 4
-            rings.append(
-                np.frombuffer(mv, dtype=fmt + "f8", count=2 * n, offset=off).reshape(n, 2).copy()
-            )
-            off += 16 * n
+            ring, off = coords(n, off + 4)
+            rings.append(ring)
         return Polygon(rings), off
     if gtype == _WKB_MULTIPOLYGON:
         (np_,) = struct.unpack_from(fmt + "I", mv, off)

@@ -75,10 +75,19 @@ def title_case_street(name: Column | str) -> Column:
     upper_lit = F.array(*[F.lit(w) for w in UPPERCASE_WORDS])
 
     def fix_token(tok: Column) -> Column:
+        # the exception lists apply ONLY to uppercase runs, like the
+        # reference (it matches the run first, then consults the lists):
+        # an already-mixed-case 'Della' or 'Am' must pass through untouched
         is_upper_run = tok.rlike(rf"^{_UPPER_RUN}$")
         return (
-            F.when(F.array_contains(lower_lit, F.lower(tok)), F.lower(tok))
-            .when(F.array_contains(upper_lit, F.upper(tok)), F.upper(tok))
+            F.when(
+                is_upper_run & F.array_contains(lower_lit, F.lower(tok)),
+                F.lower(tok),
+            )
+            .when(
+                is_upper_run & F.array_contains(upper_lit, F.upper(tok)),
+                F.upper(tok),
+            )
             .when(
                 is_upper_run,
                 F.concat(F.substring(tok, 1, 1), F.lower(F.substring(tok, 2, 1 << 30))),

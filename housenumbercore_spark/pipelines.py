@@ -933,10 +933,14 @@ def title_case_streets_sql() -> str:
 
     low = ", ".join(f"'{w}'" for w in LOWERCASE_PARTICLES)
     up = ", ".join(f"'{w}'" for w in UPPERCASE_WORDS)
+    # exception lists gate on the token being an uppercase run, mirroring
+    # norm/names.title_case_street (and the reference, which consults the
+    # lists only for matched uppercase runs)
+    run = f"regexp_matches(t, '^{_UPPER_RUN}$')"
     fix = (
-        f"CASE WHEN lower(t) IN ({low}) THEN lower(t) "
-        f"WHEN upper(t) IN ({up}) THEN upper(t) "
-        f"WHEN regexp_matches(t, '^{_UPPER_RUN}$') "
+        f"CASE WHEN {run} AND lower(t) IN ({low}) THEN lower(t) "
+        f"WHEN {run} AND upper(t) IN ({up}) THEN upper(t) "
+        f"WHEN {run} "
         f"THEN substr(t, 1, 1) || lower(substr(t, 2)) ELSE t END"
     )
     raw = (

@@ -119,10 +119,20 @@ def infer_header_mapping(
 
 
 def read_header(spark: SparkSession, path: str, params: CsvImportParams) -> tuple[str, list[str]]:
-    """Driver-side peek at the first line (distributed-store-safe)."""
+    """Driver-side peek at the first line (distributed-store-safe).
+
+    The header is split with a quote-aware csv parser, mirroring the
+    quote handling spark.read.csv applies to the data rows: a naive
+    ``split(sep)`` would keep the quotes on quoted names (breaking the
+    header-variant match) and mis-split a quoted name containing the
+    separator, shifting every positional binding after it."""
+    import csv as _csv
+    import io
+
     first = strip_bom(spark.read.text(path).limit(1).collect()[0][0])
     sep = params.separator or sniff_separator(first)
-    return sep, [h.strip() for h in first.split(sep)]
+    fields = next(_csv.reader(io.StringIO(first), delimiter=sep, quotechar='"'))
+    return sep, [h.strip() for h in fields]
 
 
 def read_csv_addresses(

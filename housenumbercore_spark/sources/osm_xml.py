@@ -135,8 +135,15 @@ def way_centroids(osm: DataFrame) -> DataFrame:
     nodes = osm_nodes(osm).select(
         F.col("osm_id").alias("__nid"), "lon", "lat"
     )
+    # closed ways (building outlines — the dominant addr ways) repeat the
+    # first node as the last ref; averaging over raw refs double-counts it
+    # and biases the anchor toward that corner
+    derefd = F.expr(
+        "CASE WHEN size(refs) > 1 AND refs[0] = refs[size(refs) - 1] "
+        "THEN slice(refs, 1, size(refs) - 1) ELSE refs END"
+    )
     refs = osm_ways(osm).select(
-        "osm_id", F.explode("refs").alias("__nid")
+        "osm_id", F.explode(derefd).alias("__nid")
     )
     return (
         refs.join(nodes, "__nid")

@@ -52,6 +52,13 @@ _SHAPE_NAMES = {
 # parsers (bytes → python records); run on executors
 # ---------------------------------------------------------------------------
 
+def _signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area: negative = clockwise (shapefile exterior)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) +
+                 (x[-1] * y[0] - x[0] * y[-1])) / 2.0
+
+
 def parse_shp(buf: bytes) -> list[tuple[int, str, float, float, bytes]]:
     """.shp bytes → [(rec_no, shape_type, x, y, wkb)].
 
@@ -83,15 +90,36 @@ def parse_shp(buf: bytes) -> list[tuple[int, str, float, float, bytes]]:
             ).reshape(n_points, 2)
             bounds = np.append(parts, n_points)
             rings = [pts[bounds[i]:bounds[i + 1]] for i in range(n_parts)]
-            if stype == SHAPE_POLYGON:
-                wkb = G.polygon_wkb([r.copy() for r in rings])
-            else:
-                # multi-part lines: emit the first part's WKB (parity with
-                # ShapeReader.java which iterates parts; multi-part street
-                # geometries re-merge downstream via linemerge)
-                wkb = G.linestring_wkb(rings[0].copy())
             x, y = float(pts[0, 0]), float(pts[0, 1])
-            out.append((rec_no, _SHAPE_NAMES[stype], x, y, wkb))
+            if stype == SHAPE_POLYGON:
+                # shapefile ring semantics: CLOCKWISE rings are exteriors,
+                # counter-clockwise rings are holes of the preceding
+                # exterior. Treating every ring after the first as a hole
+                # (the naive reading) turns an island municipality's second
+                # exterior into a hole of the first — every point inside it
+                # would test NOT covered.
+                polys: list[list[np.ndarray]] = []
+                for r in rings:
+                    rc = r.copy()
+                    if _signed_area(rc) <= 0 or not polys:  # CW → exterior
+                        polys.append([rc])
+                    else:  # CCW → hole of the most recent exterior
+                        polys[-1].append(rc)
+                wkb = (
+                    G.polygon_wkb(polys[0])
+                    if len(polys) == 1
+                    else G.multipolygon_wkb(polys)
+                )
+                out.append((rec_no, "polygon", x, y, wkb))
+            else:
+                # multi-part lines: ONE ROW PER PART (same rec_no) — the
+                # street pipelines are segment-level anyway, and keeping
+                # only part 0 silently dropped the rest of the geometry
+                for r in rings:
+                    fx, fy = float(r[0, 0]), float(r[0, 1])
+                    out.append(
+                        (rec_no, "polyline", fx, fy, G.linestring_wkb(r.copy()))
+                    )
         else:
             raise ValueError(f"unsupported shape type {stype}")
         off += content_words * 2
@@ -152,10 +180,13 @@ def read_shapefiles(
     """All ``.shp`` (+ sibling ``.dbf``) under ``path_glob`` → one row per
     record: (source_file, rec_no, shape_type, x, y, wkb, attrs).
 
-    Parallelism unit = file pair (binaryFile source); the per-pair parse is
-    executor-side. The sibling ``.dbf`` is read from the shared filesystem
-    next to its ``.shp`` — on a cluster that is the same distributed store
-    the binaryFile scan itself uses.
+    Parallelism unit = file pair; the per-pair parse is executor-side.
+    BOTH the ``.shp`` and its sibling ``.dbf`` arrive through the
+    binaryFile source and are paired by a join on the extension-stripped
+    path — the bytes travel Spark's own I/O layer, so hdfs://, s3a:// and
+    every other Hadoop filesystem work identically to local paths (a
+    driver-style ``open()`` of the sibling would silently yield attrs=None
+    everywhere on a non-local store).
 
     ``on_error='quarantine'``: a malformed file yields ONE marker row
     (shape_type ``__error__``, the message in attrs) instead of failing the
@@ -165,23 +196,49 @@ def read_shapefiles(
     """
     if on_error not in ("fail", "quarantine"):
         raise ValueError(f"on_error must be fail|quarantine, got {on_error}")
-    files = spark.read.format("binaryFile").load(path_glob).select(
-        "path", "content"
+    from pyspark.errors import AnalysisException
+
+    globs = [path_glob]
+    if path_glob.endswith(".shp"):  # a *.shp glob never matches the .dbf
+        globs.append(path_glob[:-4] + ".dbf")
+    loaded = None
+    for i, g in enumerate(globs):
+        try:
+            part = spark.read.format("binaryFile").load(g).select(
+                "path", "content"
+            )
+            part.schema  # force path resolution now
+        except AnalysisException:
+            if i == 0:
+                raise  # the .shp glob itself must match
+            continue  # shapefiles without attribute tables are legal
+        loaded = part if loaded is None else loaded.unionByName(part)
+    files = loaded.dropDuplicates(["path"]).select(
+        F.regexp_replace("path", r"\.[A-Za-z0-9]+$", "").alias("__stem"),
+        F.lower(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1)).alias("__ext"),
+        "path",
+        "content",
     )
+    shp = files.filter(F.col("__ext") == "shp").select(
+        "__stem", F.col("content").alias("__shp")
+    )
+    dbf = files.filter(F.col("__ext") == "dbf").select(
+        "__stem", F.col("content").alias("__dbf")
+    )
+    paired = shp.join(dbf, "__stem", "left")
 
     def gen(batches):
         for pdf in batches:
             rows = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                local = path[len("file:"):] if path.startswith("file:") else path
-                stem = os.path.splitext(os.path.basename(local))[0]
+            for stem_path, shp_buf, dbf_buf in zip(
+                pdf["__stem"], pdf["__shp"], pdf["__dbf"]
+            ):
+                stem = os.path.basename(stem_path)
                 try:
-                    shapes = parse_shp(bytes(content))
-                    dbf_path = os.path.splitext(local)[0] + ".dbf"
+                    shapes = parse_shp(bytes(shp_buf))
                     attrs: dict[int, dict[str, str]] = {}
-                    if os.path.exists(dbf_path):
-                        with open(dbf_path, "rb") as f:
-                            attrs = dict(parse_dbf(f.read()))
+                    if dbf_buf is not None:
+                        attrs = dict(parse_dbf(bytes(dbf_buf)))
                 except Exception as exc:
                     if on_error == "fail":
                         raise
@@ -199,7 +256,7 @@ def read_shapefiles(
                     rows, columns=[f.name for f in _SCHEMA.fields]
                 )
 
-    return files.mapInPandas(gen, _SCHEMA)
+    return paired.mapInPandas(gen, _SCHEMA)
 
 
 def addresses_from_shapefile(

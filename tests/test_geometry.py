@@ -167,3 +167,82 @@ def test_crs_utm32_known_point():
         np.array([32294407.0]), np.array([5628713.0]), 25832
     )
     assert abs(lon2[0] - lon[0]) < 1e-9 and abs(lat2[0] - lat[0]) < 1e-9
+
+
+def test_parse_wkb_ewkb_srid_and_z():
+    """EWKB flag bits imply a 4-byte SRID and/or extra Z/M ordinates that
+    must be CONSUMED, not just masked (a masked-only parser read the ring
+    count out of the SRID bytes)."""
+    import struct
+
+    import numpy as np
+
+    from housenumbercore_spark.geo import geometry as G
+
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    plain = G.polygon_wkb([ring])
+
+    # EWKB: polygon | SRID flag, then srid=4326, then the plain body
+    ewkb = struct.pack("<BI", 1, 3 | 0x20000000) + struct.pack("<I", 4326) + plain[5:]
+    poly = G.parse_wkb(ewkb)
+    assert G.covers(poly, np.array([2.0]), np.array([2.0]))[0]
+
+    # ISO Z point (type 1001): 3 doubles, z dropped
+    zpt = struct.pack("<BIddd", 1, 1001, 6.08, 50.77, 123.0)
+    kind, (x, y) = G.parse_wkb(zpt)
+    assert kind == "point" and (x, y) == (6.08, 50.77)
+
+    # EWKB Z-flagged point
+    zpt2 = struct.pack("<BIddd", 1, 1 | 0x80000000, 6.08, 50.77, 9.0)
+    kind2, (x2, y2) = G.parse_wkb(zpt2)
+    assert kind2 == "point" and (x2, y2) == (6.08, 50.77)
+
+
+def test_crs_null_srid_and_zone_prefix():
+    import numpy as np
+
+    from housenumbercore_spark.geo import crs
+
+    # zone-30 prefixed easting strips like the zone-32 reference hack
+    lon30, lat30 = crs.transform_to_wgs84(
+        np.array([30_500_000.0]), np.array([4_649_776.0]), 25830
+    )
+    lon30p, lat30p = crs.transform_to_wgs84(
+        np.array([500_000.0]), np.array([4_649_776.0]), 25830
+    )
+    assert abs(lon30[0] - lon30p[0]) < 1e-9 and abs(lat30[0] - lat30p[0]) < 1e-9
+
+
+def test_with_wgs84_null_srid_rows_become_null(spark):
+    from pyspark.sql import functions as F
+
+    from housenumbercore_spark.geo import crs
+
+    df = spark.createDataFrame(
+        [(6.08, 50.77, 4326), (1.0, 2.0, None)],
+        "x double, y double, srid int",
+    )
+    out = crs.with_wgs84(df, "x", "y", "srid").collect()
+    by = {r.srid: r for r in out}
+    assert abs(by[4326].lon - 6.08) < 1e-12
+    assert by[None].lon is None and by[None].lat is None
+
+
+def test_cover_bbox_includes_boundary_cell():
+    """A bbox whose max edge sits exactly on a cell boundary must cover the
+    cell that boundary POINTS encode to (superset guarantee)."""
+    import numpy as np
+
+    from housenumbercore_spark.geo import cells
+
+    res = 7
+    n = 1 << res
+    xmax = -180.0 + 5 * 360.0 / n  # exact cell boundary
+    ymax = -90.0 + 3 * 180.0 / n
+    cover = set(
+        cells.cover_bbox(-180.0, -90.0, xmax, ymax, res).tolist()
+    )
+    boundary_cell = cells.encode_cells(
+        np.array([xmax]), np.array([ymax]), res
+    )[0]
+    assert int(boundary_cell) in cover

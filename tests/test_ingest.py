@@ -188,3 +188,49 @@ def test_quarantine_mode_isolates_corrupt_files(spark, tmp_path):
     assert types == ["__error__", "point"]
     err = [r for r in sh if r.shape_type == "__error__"][0]
     assert "error" in err.attrs and err.source_file == "bad"
+
+
+def test_shapefile_multipart_polygon_and_polyline(spark, tmp_path):
+    """Two-exterior polygon records must become a MultiPolygon (ring
+    winding: CW = exterior), not exterior+hole; multi-part polylines emit
+    one row per part instead of dropping parts 1..n-1."""
+    import struct
+
+    import numpy as np
+
+    from housenumbercore_spark.geo import geometry as G
+
+    # two disjoint CW squares (shapefile exteriors are clockwise)
+    sq1 = np.array([[0.0, 0.0], [0.0, 2.0], [2.0, 2.0], [2.0, 0.0], [0.0, 0.0]])
+    sq2 = sq1 + 10.0
+    pts = np.vstack([sq1, sq2])
+    content = struct.pack("<I", SH.SHAPE_POLYGON)
+    content += struct.pack("<4d", 0, 0, 12, 12)
+    content += struct.pack("<ii", 2, len(pts))
+    content += struct.pack("<ii", 0, len(sq1))
+    content += pts.astype("<f8").tobytes()
+    rec = struct.pack(">II", 1, len(content) // 2) + content
+
+    line = np.array([[0.0, 0.0], [1.0, 1.0], [5.0, 5.0], [6.0, 5.0]])
+    c2 = struct.pack("<I", SH.SHAPE_POLYLINE)
+    c2 += struct.pack("<4d", 0, 0, 6, 5)
+    c2 += struct.pack("<ii", 2, len(line))
+    c2 += struct.pack("<ii", 0, 2)
+    c2 += line.astype("<f8").tobytes()
+    rec2 = struct.pack(">II", 2, len(c2) // 2) + c2
+
+    body = rec + rec2
+    header = struct.pack(">7I", 9994, 0, 0, 0, 0, 0, (100 + len(body)) // 2)
+    header += struct.pack("<II", 1000, SH.SHAPE_POLYGON)
+    header += struct.pack("<8d", 0, 0, 12, 12, 0, 0, 0, 0)
+    shp = tmp_path / "multi.shp"
+    shp.write_bytes(header + body)
+
+    rows = SH.read_shapefiles(spark, str(shp)).collect()
+    polys = [r for r in rows if r.shape_type == "polygon"]
+    lines = [r for r in rows if r.shape_type == "polyline"]
+    assert len(polys) == 1 and len(lines) == 2  # 2 rows for the 2 parts
+    g = G.parse_wkb(bytes(polys[0].wkb))
+    assert G.covers(g, np.array([1.0]), np.array([1.0]))[0]   # part 1
+    assert G.covers(g, np.array([11.0]), np.array([11.0]))[0]  # part 2 (island)
+    assert not G.covers(g, np.array([5.0]), np.array([5.0]))[0]
