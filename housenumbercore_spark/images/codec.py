@@ -180,20 +180,24 @@ def register_codec(fmt, encoder, decoder, sniff) -> None:
 
 
 def registry_snapshot():
-    """Driver-side snapshot of the codec registry for shipping into Spark
-    Python workers. Every engine mapInPandas that decodes/encodes captures
-    this at DataFrame-construction time and calls
-    :func:`install_registry` first thing inside the worker."""
-    return (dict(_ENCODERS), list(_DECODERS))
+    """Driver-side snapshot of the codec registry (image encoders/decoders
+    + audio decoders) for shipping into Spark Python workers. Every engine
+    mapInPandas that decodes/encodes captures this at
+    DataFrame-construction time and calls :func:`install_registry` first
+    thing inside the worker."""
+    return (dict(_ENCODERS), list(_DECODERS), dict(_AUDIO_DECODERS))
 
 
 def install_registry(snap) -> None:
     """Install a :func:`registry_snapshot` into this process (worker-side
-    counterpart; idempotent)."""
-    enc, dec = snap
+    counterpart; idempotent). Accepts the historical 2-tuple form too."""
+    enc, dec = snap[0], snap[1]
     _ENCODERS.clear()
     _ENCODERS.update(enc)
     _DECODERS[:] = list(dec)
+    if len(snap) > 2:
+        _AUDIO_DECODERS.clear()
+        _AUDIO_DECODERS.update(snap[2])
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
@@ -292,15 +296,33 @@ def decode_pcm(buf: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(zlib.decompress(buf[8:]), dtype=np.int16), rate
 
 
+#: fmt (lowercase) → decoder(buf) -> (samples int16 ndarray, rate); the
+#: audio counterpart of _ENCODERS/_DECODERS, shipped to workers through the
+#: same registry snapshot (a bare driver-side function swap would be
+#: invisible to Spark Python workers, which re-import this module fresh)
+_AUDIO_DECODERS: dict = {}
+
+
+def register_audio_decoder(fmt: str, decoder) -> None:
+    """Plug a real audio decoder (soundfile/ffmpeg) for ``fmt`` — the audio
+    twin of :func:`register_codec`; picked up by every audio mapInPandas
+    via the registry snapshot. Must be cloudpickle-serializable."""
+    _AUDIO_DECODERS[fmt.lower()] = decoder
+
+
 def decode_audio_external(buf: bytes, fmt: str) -> tuple[np.ndarray, int]:
-    """STUB — decoding real audio formats (mp3/flac/opus/wav) requires an
-    audio library (soundfile/librosa/ffmpeg) that is not available in this
-    environment. The Spark-side plumbing (binary column in, (samples, rate)
-    out, Arrow batching) is exercised through the AUD1/PCM path above; swap
-    this single dispatch point for a real decoder in production."""
+    """Registered-decoder dispatch; STUB otherwise — decoding real audio
+    formats (mp3/flac/opus/wav) requires an audio library
+    (soundfile/librosa/ffmpeg) that is not available in this environment.
+    The Spark-side plumbing (binary column in, (samples, rate) out, Arrow
+    batching) is exercised through the AUD1/PCM path above; production
+    plugs a decoder with :func:`register_audio_decoder`."""
+    dec = _AUDIO_DECODERS.get(str(fmt).lower())
+    if dec is not None:
+        return dec(buf)
     raise NotImplementedError(
         f"decode_audio_external({fmt}): no audio codec library in this "
-        "environment — use AUD1/PCM payloads or plug a real decoder here"
+        "environment — use AUD1/PCM payloads or register_audio_decoder()"
     )
 
 

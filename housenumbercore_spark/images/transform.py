@@ -26,7 +26,7 @@ from . import codec
 _RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
-        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("bytes", T.BinaryType(), True),  # NULL = quarantined
         T.StructField("w", T.IntegerType(), False),
         T.StructField("h", T.IntegerType(), False),
         T.StructField("fmt", T.StringType(), False),
@@ -37,7 +37,12 @@ _RESIZE_SCHEMA = T.StructType(
 
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Decode → nearest-resample to (out_w, out_h) → re-encode in the row's
-    own fmt. Captions pass through byte-identical (north-rule invariant)."""
+    own fmt. Captions pass through byte-identical (north-rule invariant).
+
+    Per-row failure seam: a corrupt payload yields a quarantine row
+    (bytes=NULL, w=h=-1) instead of killing the task — one bad image among
+    billions must not abort the job; downstream gates see the dims
+    mismatch loudly."""
     snap = codec.registry_snapshot()  # ship registered codecs to workers
 
     def gen(batches):
@@ -47,9 +52,14 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for iid, buf, fmt, cap in zip(
                 pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"]
             ):
-                px = codec.decode_image(bytes(buf))
-                rs = codec.resize_nearest(px, out_w, out_h)
-                rows.append((iid, codec.encode_image(rs, fmt), out_w, out_h, fmt, cap))
+                try:
+                    px = codec.decode_image(bytes(buf))
+                    rs = codec.resize_nearest(px, out_w, out_h)
+                    rows.append(
+                        (iid, codec.encode_image(rs, fmt), out_w, out_h, fmt, cap)
+                    )
+                except Exception:
+                    rows.append((iid, None, -1, -1, fmt, cap))
             yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
 
     return df.select("image_id", "bytes", "fmt", "caption").mapInPandas(
@@ -61,7 +71,7 @@ _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("video_id", T.StringType(), False),
         T.StructField("frame_idx", T.IntegerType(), False),
-        T.StructField("frame_bytes", T.BinaryType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),  # NULL = quarantined
         T.StructField("w", T.IntegerType(), False),
         T.StructField("h", T.IntegerType(), False),
     ]
@@ -71,7 +81,10 @@ _FRAME_SCHEMA = T.StructType(
 def frame_sample(df: DataFrame, every_k: int) -> DataFrame:
     """Unpack each VID1 container and keep every k-th frame (decoded to get
     real dimensions) — one input row explodes to ceil(n_frames/k) rows
-    inside the same partition."""
+    inside the same partition.
+
+    Per-row failure seam: a corrupt container or frame yields a quarantine
+    row (frame_idx=-1 resp. w=h=-1) instead of killing the task."""
     snap = codec.registry_snapshot()
 
     def gen(batches):
@@ -79,10 +92,19 @@ def frame_sample(df: DataFrame, every_k: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for vid, buf in zip(pdf["video_id"], pdf["bytes"]):
-                frames = codec.unpack_video(bytes(buf))
+                try:
+                    frames = codec.unpack_video(bytes(buf))
+                except Exception:
+                    rows.append((vid, -1, None, -1, -1))
+                    continue
                 for idx in range(0, len(frames), every_k):
-                    px = codec.decode_image(frames[idx])
-                    rows.append((vid, idx, frames[idx], px.shape[1], px.shape[0]))
+                    try:
+                        px = codec.decode_image(frames[idx])
+                        rows.append(
+                            (vid, idx, frames[idx], px.shape[1], px.shape[0])
+                        )
+                    except Exception:
+                        rows.append((vid, idx, frames[idx], -1, -1))
             yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
 
     return df.select("video_id", "bytes").mapInPandas(gen, _FRAME_SCHEMA)
@@ -103,16 +125,29 @@ _AUDIO_SCHEMA = T.StructType(
 def audio_features(df: DataFrame) -> DataFrame:
     """PCM feature extraction: duration, RMS level, zero-crossing rate.
     Real-world compressed formats route through codec.decode_audio_external
-    (stubbed — see its docstring)."""
+    (register one with codec.register_audio_decoder — the registration
+    travels to workers via the same registry snapshot as the image codecs).
+
+    Per-row failure seam: a corrupt payload yields a quarantine row
+    (n_samples=-1); an UNSUPPORTED format still raises loudly
+    (NotImplementedError is a configuration error, not dirty data)."""
+    snap = codec.registry_snapshot()
 
     def gen(batches):
+        codec.install_registry(snap)
         for pdf in batches:
             rows = []
             for aid, buf, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
-                if fmt == "pcm":
-                    samples, rate = codec.decode_pcm(bytes(buf))
-                else:
-                    samples, rate = codec.decode_audio_external(bytes(buf), fmt)
+                try:
+                    if fmt == "pcm":
+                        samples, rate = codec.decode_pcm(bytes(buf))
+                    else:
+                        samples, rate = codec.decode_audio_external(bytes(buf), fmt)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append((aid, -1, -1, 0.0, 0.0, 0.0))
+                    continue
                 x = samples.astype(np.float64) / 32768.0
                 zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
                 rows.append(

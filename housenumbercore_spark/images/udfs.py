@@ -41,6 +41,12 @@ def check_invariants(
     """→ (image_id, psnr_db, pixels_ok, caption_ok), one row per output row.
 
     psnr_db is +inf (encoded as 999.0) when decoded pixels are identical.
+    The join to the source is a LEFT join from the output: an output row
+    whose id matches no source row (corrupted/renamed id — exactly the
+    corruption class this gate exists to catch) surfaces as a pixel AND
+    caption violation instead of silently vanishing from the check.
+    Source rows legitimately dropped by the pipeline are a row-COUNT
+    concern, verified by comparing n_rows against the expected count.
     """
     o = out_df.select(
         F.col(id_col).alias("image_id"),
@@ -52,7 +58,7 @@ def check_invariants(
         F.col(bytes_col).alias("__sb"),
         F.col(caption_col).alias("__sc"),
     )
-    joined = o.join(s, "image_id", "inner")
+    joined = o.join(s, "image_id", "left")
 
     # Byte-equal payloads short-circuit ENTIRELY inside the JVM: identical
     # bytes decode identically, so psnr = ∞ without touching Python. Only
@@ -70,6 +76,11 @@ def check_invariants(
         & F.col("__sb").isNotNull()
         & (F.col("__ob") == F.col("__sb"))
     )
+    # NOTE on the two-branch union: each branch re-executes the join
+    # (exchange reuse dedups the shuffle, not the probe). Persisting the
+    # payload-carrying join output would cost more than it saves at the
+    # 10^12-row shape, so the byte comparison intentionally runs once per
+    # branch while Python is paid only for the diff rows.
     same = joined.filter(byte_equal).select(
         "image_id",
         F.lit(999.0).alias("psnr_db"),
@@ -114,10 +125,12 @@ def invariant_summary(check_df: DataFrame) -> DataFrame:
     min_psnr_db)."""
     return check_df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(~F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixel_violations"),
-        F.sum(F.when(~F.col("caption_ok"), 1).otherwise(0)).alias(
-            "n_caption_violations"
-        ),
+        F.coalesce(
+            F.sum(F.when(~F.col("pixels_ok"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_pixel_violations"),
+        F.coalesce(
+            F.sum(F.when(~F.col("caption_ok"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_caption_violations"),
         F.min("psnr_db").alias("min_psnr_db"),
     )
 
@@ -132,13 +145,19 @@ def invariant_gate_summary(check_df: DataFrame) -> DataFrame:
     join, violations must be zero, and the PSNR floor collapses to a
     boolean (≥ :data:`PSNR_MIN_DB`). The engine still computes all of them
     from real decoded pixels — the oracle predicts, Spark verifies."""
+    # coalesce: over ZERO rows sum/min are NULL — an empty check must
+    # read as "no violations, gate vacuously ok", not NULL comparisons
     return check_df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(~F.col("pixels_ok"), 1).otherwise(0)).alias("n_pixel_violations"),
-        F.sum(F.when(~F.col("caption_ok"), 1).otherwise(0)).alias(
-            "n_caption_violations"
-        ),
-        (F.min("psnr_db") >= F.lit(PSNR_MIN_DB)).alias("psnr_gate_ok"),
+        F.coalesce(
+            F.sum(F.when(~F.col("pixels_ok"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_pixel_violations"),
+        F.coalesce(
+            F.sum(F.when(~F.col("caption_ok"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_caption_violations"),
+        F.coalesce(
+            F.min("psnr_db") >= F.lit(PSNR_MIN_DB), F.lit(True)
+        ).alias("psnr_gate_ok"),
     )
 
 

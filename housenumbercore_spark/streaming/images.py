@@ -104,11 +104,15 @@ def read_gated(spark: SparkSession, out_dir: str, side: str) -> DataFrame:
     The explicit schema makes the read safe when the side holds only an
     empty batch directory left by a crashed attempt whose replay produced
     zero rows — schema INFERENCE would raise UNABLE_TO_INFER_SCHEMA there.
-    A side that was never written at all reads as an empty DataFrame."""
-    import os
+    A side that was never written at all reads as an empty DataFrame.
+    Existence is checked through the Hadoop FileSystem API — a driver-local
+    os.path.exists is always False on hdfs://*/s3a:// paths and would
+    silently report every total as zero."""
+    from ..sources.sinks import _hadoop_fs
 
     p = f"{out_dir}/{side}"
-    if not os.path.exists(p):
+    _, fs, jpath = _hadoop_fs(spark, p)
+    if not fs.exists(jpath):
         return spark.createDataFrame([], GATED_OUT_SCHEMA)
     return spark.read.schema(GATED_OUT_SCHEMA).parquet(p)
 

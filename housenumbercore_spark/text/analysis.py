@@ -39,9 +39,11 @@ def _sql_list(words: tuple[str, ...]) -> str:
 
 
 def _count_in(words: tuple[str, ...]) -> Column:
-    """Non-distinct count of tokens appearing in a word set."""
+    """Non-distinct count of tokens appearing in a word set (case-folded:
+    a sentence-start 'The'/'Der' must hit the lowercase profiles)."""
     return F.expr(
-        f"size(filter(toks, t -> array_contains(array({_sql_list(words)}), t)))"
+        f"size(filter(toks, t -> "
+        f"array_contains(array({_sql_list(words)}), lower(t))))"
     )
 
 
@@ -112,9 +114,14 @@ def lang_id(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     )
     langs = F.array(*[F.lit(lang) for lang, _ in LANG_PROFILES])
     d = d.withColumn("best", F.array_max(scored))
+    # zero marker hits = no evidence for ANY language: emit 'und'
+    # (undetermined) instead of silently classifying as the first profile
+    pred = F.when(F.col("best.score") == 0, F.lit("und")).otherwise(
+        F.element_at(langs, -F.col("best.nr") + 1)
+    )
     return d.select(
         "doc_id",
-        F.element_at(langs, -F.col("best.nr") + 1).alias("pred_lang"),
+        pred.alias("pred_lang"),
         F.col("best.score").alias("lang_score"),
         F.col("lang").alias("label_lang"),
         *keep_cols,
@@ -144,11 +151,15 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         f"(acc, h) -> (acc * {ROLLING_BASE} + h) % {MERSENNE31})"
     )
     gram = "concat_ws(' ', slice(toks, i, " + str(k) + "))"
+    # short-doc fallback hashes the TOKEN JOIN, not the raw text, matching
+    # dedup.shingle_expr's normalization: 'a  b' and 'a b' must fingerprint
+    # identically
+    short = h60_spark("concat_ws(' ', toks)")
     min_shingle = F.expr(
         f"CASE WHEN size(toks) >= {k} THEN "
         f"array_min(transform(sequence(1, size(toks) - {k - 1}), "
         f"i -> {h60_spark(gram)})) "
-        f"ELSE {h60_spark('text')} END"
+        f"ELSE {short} END"
     )
     return d.select(
         "doc_id",

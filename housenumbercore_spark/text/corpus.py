@@ -176,7 +176,14 @@ def sample_to_token_budget(
         else F.lit("__all__")
     )
     d = d.withColumn("__grp", grp)
-    totals = d.groupBy("__grp").agg(F.sum("n_tokens").alias("__grp_tokens"))
+    # localCheckpoint: totals is n_groups rows, but its lineage tokenizes
+    # the whole corpus — without the pin, the count here AND the broadcast
+    # join below each re-run that scan
+    totals = (
+        d.groupBy("__grp")
+        .agg(F.sum("n_tokens").alias("__grp_tokens"))
+        .localCheckpoint(eager=True)
+    )
     n_groups = totals.count()
     per_group = budget_tokens / max(n_groups, 1)
     frac = F.least(F.lit(1.0), F.lit(per_group) / F.col("__grp_tokens"))
@@ -300,8 +307,11 @@ def pack_sequences(
                 out_pack[j] = len(packs) - 1
                 out_slot[j] = -1
                 continue
+            # zero-token docs may join any OPEN pack but never a flagged
+            # oversize singleton (those carry capacity 0, which `cap >= 0`
+            # alone would satisfy, un-singling the flagged pack)
             for i, cap in enumerate(packs):  # first fit (decreasing order)
-                if cap >= n:
+                if cap >= n and (n > 0 or cap > 0):
                     packs[i] = cap - n
                     out_pack[j] = i
                     out_slot[j] = slots[i]

@@ -38,8 +38,10 @@ def _sql_list(words: tuple[str, ...]) -> str:
 
 
 def _count_in(words: tuple[str, ...]) -> str:
+    # case-folded, mirroring analysis._count_in
     return (
-        f"len(list_filter(toks, t -> list_contains([{_sql_list(words)}], t)))"
+        f"len(list_filter(toks, t -> "
+        f"list_contains([{_sql_list(words)}], lower(t))))"
     )
 
 
@@ -93,6 +95,8 @@ def lang_id_sql() -> str:
         )
     pred = "CASE " + " ".join(cases) + " END"
     score = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    # zero marker hits → 'und', mirroring analysis.lang_id
+    pred = f"CASE WHEN {score} = 0 THEN 'und' ELSE ({pred}) END"
     return f"""
 SELECT doc_id, {pred} AS pred_lang, CAST({score} AS INT) AS lang_score,
        lang AS label_lang
@@ -114,11 +118,14 @@ def fingerprints_sql() -> str:
         f"(acc, h) -> (acc * {ROLLING_BASE} + h) % {P})"
     )
     gram = "array_to_string(toks[i:i+" + str(k - 1) + "], ' ')"
+    # short-doc fallback = token join (whitespace-normalized), mirroring
+    # analysis.fingerprints and dedup.shingle_expr
+    short = h60_duck("array_to_string(toks, ' ')")
     min_shingle = (
         f"CASE WHEN len(toks) >= {k} THEN "
         f"list_aggregate(list_transform(generate_series(1, len(toks) - {k - 1}), "
         f"i -> {h60_duck(gram)}), 'min') "
-        f"ELSE {h60_duck('text')} END"
+        f"ELSE {short} END"
     )
     return f"""
 SELECT doc_id, {h60_duck('text')} AS content_hash,
@@ -363,7 +370,11 @@ def sequence_packs_sql(max_tokens: int = 80, n_buckets: int = 8) -> str:
     h = h60_duck("CAST(doc_id AS VARCHAR)")
     # first open pack (1-based) whose remaining capacity fits the doc;
     # list_position returns 0 when none fits
-    idx = "list_position(list_transform(s.caps, c -> c >= b.n_tokens), true)"
+    # zero-token docs never join a flagged oversize singleton (capacity 0)
+    idx = (
+        "list_position(list_transform(s.caps, "
+        "c -> c >= b.n_tokens AND (b.n_tokens > 0 OR c > 0)), true)"
+    )
     return f"""
 WITH RECURSIVE
 d AS (
