@@ -285,3 +285,145 @@ class TestMultimodalTransforms:
     def test_audio_external_stub(self):
         with pytest.raises(NotImplementedError):
             codec.decode_audio_external(b"ID3...", "mp3")
+
+
+class TestQuarantineAndAudioRegistry:
+    """Round-4 review-pass fixes: per-row failure seams in the multimodal
+    transforms, the audio-decoder registry, and the left-join/zero-row
+    hardening of the invariant gate."""
+
+    def test_resize_quarantines_corrupt_payload(self, spark):
+        from housenumbercore_spark.images import transform as TR
+
+        src = IMG.images_df(spark, 6)
+        poisoned = src.withColumn(
+            "bytes",
+            F.when(
+                F.col("image_id") == "img0000000003",
+                F.lit(bytearray(b"not-an-image")),
+            ).otherwise(F.col("bytes")),
+        )
+        out = {r.image_id: r for r in TR.resize_images(poisoned, 8, 8).collect()}
+        assert len(out) == 6  # one bad row must not kill the other five
+        bad = out["img0000000003"]
+        assert bad.bytes is None and (bad.w, bad.h) == (-1, -1)
+        assert bad.caption == IMG.make_caption(3)  # caption still rides
+        good = out["img0000000001"]
+        assert codec.decode_image(bytes(good.bytes)).shape == (8, 8, 3)
+
+    def test_frame_sample_quarantines_container_and_frame(self, spark):
+        from housenumbercore_spark.images import transform as TR
+
+        ok = codec.pack_video([codec.encode_png(IMG.make_pixels(i)) for i in range(2)])
+        mixed = codec.pack_video([codec.encode_png(IMG.make_pixels(5)), b"garbage"])
+        df = spark.createDataFrame(
+            [("vidok", bytearray(ok)), ("vidbad", bytearray(b"\x00trash")),
+             ("vidmix", bytearray(mixed))],
+            "video_id string, bytes binary",
+        )
+        rows = TR.frame_sample(df, 1).collect()
+        by_vid = {}
+        for r in rows:
+            by_vid.setdefault(r.video_id, []).append(r)
+        # corrupt container → one quarantine row, job survives
+        (qc,) = by_vid["vidbad"]
+        assert qc.frame_idx == -1 and qc.frame_bytes is None
+        # corrupt FRAME inside a valid container → that frame flagged w=h=-1
+        mix = {r.frame_idx: r for r in by_vid["vidmix"]}
+        assert (mix[0].w, mix[0].h) == (IMG.IMG_W, IMG.IMG_H)
+        assert (mix[1].w, mix[1].h) == (-1, -1)
+        assert bytes(mix[1].frame_bytes) == b"garbage"  # payload kept for triage
+        assert len(by_vid["vidok"]) == 2
+
+    def test_audio_features_quarantines_corrupt_pcm(self, spark):
+        from housenumbercore_spark.images import transform as TR
+
+        good = IMG.audio_df(spark, 2)
+        poisoned = good.withColumn(
+            "bytes",
+            F.when(
+                F.col("audio_id") == "aud00000001", F.lit(bytearray(b"AUD1junk"))
+            ).otherwise(F.col("bytes")),
+        )
+        out = {r.audio_id: r for r in TR.audio_features(poisoned).collect()}
+        assert out["aud00000001"].n_samples == -1
+        assert out["aud00000000"].sample_rate == IMG.AUDIO_RATE
+
+    def test_registered_audio_decoder_reaches_workers(self, spark):
+        """register_audio_decoder is the audio twin of register_codec: the
+        registration must travel into Spark Python workers through the
+        registry snapshot (a driver-global alone is invisible there)."""
+        from housenumbercore_spark.images import transform as TR
+
+        saved = dict(codec._AUDIO_DECODERS)
+        try:
+            rate = 8000
+
+            def fake_mp3(buf):
+                n = int.from_bytes(buf[4:8], "big")
+                t = np.arange(n) / rate
+                return (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(
+                    np.int16
+                ), rate
+
+            codec.register_audio_decoder("mp3", fake_mp3)
+            # driver-side dispatch
+            s, r = codec.decode_audio_external(b"MP3F" + (160).to_bytes(4, "big"), "MP3")
+            assert r == rate and len(s) == 160
+            # worker-side dispatch through audio_features
+            df = spark.createDataFrame(
+                [("a0", bytearray(b"MP3F" + (4000).to_bytes(4, "big")), "mp3", "c")],
+                "audio_id string, bytes binary, fmt string, caption string",
+            )
+            row = TR.audio_features(df).collect()[0]
+            assert row.sample_rate == rate
+            assert row.n_samples == 4000
+            assert abs(row.duration_s - 0.5) < 1e-9
+            assert abs(row.rms - 0.5 / np.sqrt(2)) < 0.01
+        finally:
+            codec._AUDIO_DECODERS.clear()
+            codec._AUDIO_DECODERS.update(saved)
+
+    def test_unregistered_format_still_raises_loudly(self, spark):
+        """NotImplementedError is a configuration error, not dirty data —
+        it must abort the job, not quarantine."""
+        from pyspark.errors.exceptions.captured import PythonException
+
+        from housenumbercore_spark.images import transform as TR
+
+        df = spark.createDataFrame(
+            [("a0", bytearray(b"ID3xxxx"), "opus", "c")],
+            "audio_id string, bytes binary, fmt string, caption string",
+        )
+        with pytest.raises(PythonException, match="NotImplementedError"):
+            TR.audio_features(df).collect()
+
+    def test_unknown_output_id_is_a_violation(self, spark):
+        """check_invariants joins output LEFT: an output row whose id
+        matches no source row (corrupted/renamed id) must surface as a
+        pixel AND caption violation, not silently vanish (the inner join
+        dropped exactly the corruption class the gate exists to catch)."""
+        src = IMG.images_df(spark, 10)
+        renamed = src.withColumn(
+            "image_id",
+            F.when(
+                F.col("image_id") == "img0000000002", F.lit("imgCORRUPTED")
+            ).otherwise(F.col("image_id")),
+        )
+        summ = IU.invariant_summary(IU.check_invariants(renamed, src)).collect()[0]
+        assert summ.n_rows == 10  # every OUTPUT row is checked
+        assert summ.n_pixel_violations == 1
+        assert summ.n_caption_violations == 1
+
+    def test_summaries_over_zero_rows(self, spark):
+        """An empty check (zero output rows) must read as zero violations
+        and a vacuously-true PSNR gate, not NULLs."""
+        src = IMG.images_df(spark, 3)
+        empty = src.filter(F.lit(False))
+        chk = IU.check_invariants(empty, src)
+        summ = IU.invariant_summary(chk).collect()[0]
+        assert (summ.n_rows, summ.n_pixel_violations, summ.n_caption_violations) == (
+            0, 0, 0,
+        )
+        gate = IU.invariant_gate_summary(chk).collect()[0]
+        assert gate.n_rows == 0 and gate.psnr_gate_ok is True

@@ -656,3 +656,62 @@ def test_kmeans_centroids_beat_first_n_on_clustered_data(spark):
     mean_km, mean_fn = sum(rec_km) / len(rec_km), sum(rec_fn) / len(rec_fn)
     assert mean_km >= 0.95, (mean_km, rec_km)
     assert mean_km > mean_fn, (mean_km, mean_fn)
+
+
+def test_lang_id_und_and_case_folding(spark):
+    """Round-4 review fixes: (1) a doc hitting NO language profile gets
+    'und', not a silent first-profile win; (2) marker matching is
+    case-folded so sentence-initial 'The'/'Der' count."""
+    from housenumbercore_spark.text.analysis import lang_id
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "zzz qqq xyzzy plugh", "xx"),          # no markers at all
+            ("d2", "The THE The cat", "en"),               # only capitalized
+            ("d3", "Der Hund und DIE Katze", "de"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    got = {r.doc_id: r for r in lang_id(docs).collect()}
+    assert got["d1"].pred_lang == "und" and got["d1"].lang_score == 0
+    assert got["d2"].pred_lang == "en" and got["d2"].lang_score == 3
+    assert got["d3"].pred_lang == "de" and got["d3"].lang_score == 3
+
+
+def test_fingerprints_short_doc_whitespace_normalized(spark):
+    """Short-doc min-shingle fallback hashes the TOKEN JOIN: 'a  b' and
+    'a b' must fingerprint identically (matching shingle_expr)."""
+    from housenumbercore_spark.text.analysis import fingerprints
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha  beta", "en"), ("d2", "alpha beta", "en")],
+        "doc_id string, text string, lang string",
+    )
+    got = {r.doc_id: r for r in fingerprints(docs).collect()}
+    assert got["d1"].min_shingle_hash == got["d2"].min_shingle_hash
+    assert got["d1"].rolling_hash == got["d2"].rolling_hash
+    # content_hash stays raw-text (exact-dup semantics) — they differ
+    assert got["d1"].content_hash != got["d2"].content_hash
+
+
+def test_pack_sequences_zero_token_doc_avoids_flagged_singleton(spark):
+    """A zero-token doc 'fits' any capacity — including the capacity-0
+    flagged oversize singleton, which must stay a singleton (pack_slot=-1
+    marks it for split-or-drop; a joiner would corrupt that contract)."""
+    from housenumbercore_spark.text.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            ("big", " ".join(["w"] * 50), "en"),  # oversize vs max_tokens=10
+            ("empty", None, "en"),                # NULL text = 0 tokens
+            ("tiny", "one two", "en"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(docs, 10, n_buckets=1).collect()}
+    assert rows["big"].pack_slot == -1            # flagged singleton
+    assert rows["empty"].n_tokens == 0
+    assert rows["empty"].pack_id != rows["big"].pack_id
+    assert rows["empty"].pack_slot != -1
+    # the zero-token doc can still share a NORMAL open pack
+    assert rows["empty"].pack_id == rows["tiny"].pack_id
