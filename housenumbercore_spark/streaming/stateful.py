@@ -55,15 +55,20 @@ def _update(key, pdfs, state: GroupState):
     for pdf in pdfs:
         n += len(pdf)
         # half-away-from-zero to match SQL round() (pandas .round is
-        # banker's half-to-even — off by one on exact half-cents)
+        # banker's half-to-even — off by one on exact half-cents);
+        # NULL values drop from the sum like SQL SUM (a NaN reaching
+        # astype("int64") is platform-defined garbage, typically INT64_MIN)
         v = pdf["value"].to_numpy(dtype="float64") * 100
+        v = v[~np.isnan(v)]
         cents += int(
             (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
         )
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
-        lo, hi = int(ts_us.min()), int(ts_us.max())
-        first_us = lo if first_us is None else min(first_us, lo)
-        last_us = hi if last_us is None else max(last_us, hi)
+        ts = pdf["ts"].dropna()  # NaT skips like SQL MIN/MAX
+        if len(ts):
+            ts_us = ts.astype("int64") // 1000  # ns → µs
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
     state.update((n, cents, first_us, last_us))
     yield pd.DataFrame(
         {

@@ -180,3 +180,41 @@ def test_stateful_rounding_half_away(spark, tmp_path):
     )
     want = con.execute(ST.user_running_stats_sql()).df()
     assert got[7] == int(want["value_cents"].iloc[0]) == 13 + 14
+
+
+def test_stateful_null_value_and_ts_skip_like_sql(spark, tmp_path):
+    """NULL value rows count in n_events but drop from the cent sum, and
+    NaT timestamps skip the first/last bounds — matching SQL COUNT(*)/
+    SUM/MIN/MAX semantics (a NaN reaching astype(int64) is undefined)."""
+    import duckdb
+
+    from housenumbercore_spark.streaming import stateful as ST
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1, 0), 7, "c", 1.00, ""),
+         (2, None, 7, "c", None, ""),
+         (3, datetime(2024, 1, 1, 0, 30), 7, "c", 2.50, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import glob
+    import shutil
+
+    outdir = tmp_path / "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(str(outdir))
+    part = glob.glob(str(outdir / "part-*.parquet"))[0]
+    shutil.move(part, str(tmp_path / "events.parquet"))
+    row = {r.user_id: r for r in
+           ST.user_running_stats(spark, str(tmp_path)).collect()}[7]
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(ST.user_running_stats_sql()).df().iloc[0]
+    assert row.n_events == int(want["n_events"]) == 3
+    assert row.value_cents == int(want["value_cents"]) == 350
+    assert row.first_ts == want["first_ts"].to_pydatetime()
+    assert row.last_ts == want["last_ts"].to_pydatetime()
