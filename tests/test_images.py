@@ -427,3 +427,323 @@ class TestQuarantineAndAudioRegistry:
         )
         gate = IU.invariant_gate_summary(chk).collect()[0]
         assert gate.n_rows == 0 and gate.psnr_gate_ok is True
+
+
+class TestGateEarlyAssign:
+    """images/assign.py: gate the payload once, run the spatial join narrow."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @pytest.fixture(scope="class")
+    def images(self, spark):
+        return IMG.images_df(spark, 200, partitions=4).cache()
+
+    @pytest.fixture(scope="class")
+    def areas(self, spark):
+        from housenumbercore_spark.sources import synthetic as S
+
+        return S.areas_df(spark, self.SF)
+
+    def test_keep_cols_pass_through_both_branches(self, spark, images):
+        """lon/lat must ride through the JVM byte-equal branch AND the
+        decode (mapInPandas) branch unchanged."""
+        corrupted = images.withColumn(
+            "bytes",
+            F.when(
+                F.col("image_id") == "img0000000004",
+                F.lit(bytearray(codec.encode_png(IMG.make_pixels(999)))),
+            ).otherwise(F.col("bytes")),
+        )
+        chk = IU.check_invariants(
+            corrupted, images, keep_cols=("lon", "lat")
+        ).toPandas().set_index("image_id")
+        src = images.select("image_id", "lon", "lat").toPandas().set_index(
+            "image_id"
+        )
+        assert len(chk) == 200
+        # diff-branch row (decoded): coordinates intact, flagged
+        assert not chk.loc["img0000000004", "pixels_ok"]
+        assert chk.loc["img0000000004", "lon"] == src.loc["img0000000004", "lon"]
+        # same-branch row: coordinates intact, clean
+        assert chk.loc["img0000000007", "pixels_ok"]
+        assert chk.loc["img0000000007", "lat"] == src.loc["img0000000007", "lat"]
+
+    def test_keep_cols_collision_raises(self, spark, images):
+        with pytest.raises(ValueError, match="collide"):
+            IU.check_invariants(images, images, keep_cols=("pixels_ok",))
+
+    def test_gated_assign_matches_direct_assign(self, spark, images, areas):
+        """Clean input: assignments == assign_points_to_areas on the raw
+        coordinates; quarantine empty; output narrow (no payload column)."""
+        from housenumbercore_spark.images.assign import (
+            assign_gated_images_to_areas,
+        )
+        from housenumbercore_spark.operators import pip_join as PJ
+
+        assigned, quarantine = assign_gated_images_to_areas(
+            spark, images, areas, tile_res=13
+        )
+        assert quarantine.count() == 0
+        assert "bytes" not in assigned.columns
+        assert "tile_id" in assigned.columns
+        got = {
+            (r.image_id, r.area_id)
+            for r in assigned.select("image_id", "area_id").collect()
+        }
+        want = {
+            (r.image_id, r.area_id)
+            for r in PJ.assign_points_to_areas(
+                spark, images.select("image_id", "lon", "lat"), areas
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_corrupt_row_quarantined_not_assigned(self, spark, images, areas):
+        from housenumbercore_spark.images.assign import (
+            assign_gated_images_to_areas,
+        )
+
+        bad_id = "img0000000004"
+        corrupted = images.withColumn(
+            "caption",
+            F.when(F.col("image_id") == bad_id, F.lit("tampered")).otherwise(
+                F.col("caption")
+            ),
+        )
+        assigned, quarantine = assign_gated_images_to_areas(
+            spark, corrupted, areas, src_df=images
+        )
+        q = quarantine.collect()
+        assert [r.image_id for r in q] == [bad_id]
+        assert q[0].caption_ok is False and q[0].pixels_ok is True
+        assert assigned.filter(F.col("image_id") == bad_id).count() == 0
+
+    def test_replica_ids_gate_against_source(self, spark, images, areas):
+        """src_id_col maps derived fact ids (replica suffixes) back to the
+        source payloads — every replica is gated, assignments double."""
+        from housenumbercore_spark.images.assign import (
+            assign_gated_images_to_areas,
+        )
+
+        rep = spark.range(2).select(F.col("id").cast("string").alias("r"))
+        big = images.crossJoin(F.broadcast(rep)).select(
+            F.concat("image_id", F.lit("#"), "r").alias("image_id"),
+            F.substring_index(
+                F.concat("image_id", F.lit("#"), "r"), "#", 1
+            ).alias("src_image_id"),
+            "bytes", "caption", "lon", "lat",
+        )
+        assigned, quarantine = assign_gated_images_to_areas(
+            spark, big, areas, src_df=images, src_id_col="src_image_id"
+        )
+        base, _ = assign_gated_images_to_areas(spark, images, areas)
+        assert quarantine.count() == 0
+        assert assigned.count() == 2 * base.count()
+
+    def test_gated_assign_plan_never_shuffles(self, spark, images, areas):
+        """The whole gated pipeline is broadcast + map: no shuffle exchange,
+        no sort-merge join, no cartesian — payload bytes move through
+        exactly one (broadcast) join."""
+        from housenumbercore_spark.images.assign import (
+            assign_gated_images_to_areas,
+        )
+
+        assigned, _ = assign_gated_images_to_areas(
+            spark, images, areas, tile_res=13
+        )
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+class TestDigestGate:
+    """gate="digest": checksum fast path + payload-refetch decode fallback
+    must produce verdicts identical to the byte gate."""
+
+    @pytest.fixture(scope="class")
+    def images(self, spark):
+        return IMG.images_df(spark, 60, partitions=4).cache()
+
+    @pytest.fixture(scope="class")
+    def mutated(self, spark, images):
+        """One pixel-corrupt row, one caption-tamper row, one NULL payload,
+        one renamed id, one lossy re-encode (bytes differ, pixels close)."""
+        reenc = codec.encode_image(
+            codec.decode_image(
+                bytes(
+                    images.filter(F.col("image_id") == "img0000000008")
+                    .select("bytes").collect()[0][0]
+                )
+            ),
+            "jpgq",
+        )
+        return (
+            images.withColumn(
+                "bytes",
+                F.when(
+                    F.col("image_id") == "img0000000004",
+                    F.lit(bytearray(codec.encode_png(IMG.make_pixels(999)))),
+                )
+                .when(F.col("image_id") == "img0000000005", F.lit(None).cast("binary"))
+                .when(F.col("image_id") == "img0000000008", F.lit(bytearray(reenc)))
+                .otherwise(F.col("bytes")),
+            )
+            .withColumn(
+                "caption",
+                F.when(
+                    F.col("image_id") == "img0000000007", F.lit("tampered")
+                ).otherwise(F.col("caption")),
+            )
+            .withColumn(
+                "image_id",
+                F.when(
+                    F.col("image_id") == "img0000000002", F.lit("imgRENAMED")
+                ).otherwise(F.col("image_id")),
+            )
+        )
+
+    def test_digest_verdicts_match_byte_gate(self, spark, images, mutated):
+        cols = ["image_id", "pixels_ok", "caption_ok", "psnr_db"]
+        by = (
+            IU.check_invariants(mutated, images, gate="bytes")
+            .select(cols).toPandas().set_index("image_id").sort_index()
+        )
+        dg = (
+            IU.check_invariants(mutated, images, gate="digest")
+            .select(cols).toPandas().set_index("image_id").sort_index()
+        )
+        assert (by.pixels_ok == dg.pixels_ok).all()
+        assert (by.caption_ok == dg.caption_ok).all()
+        # diff rows decode to the SAME real PSNR in both modes
+        assert (by.psnr_db - dg.psnr_db).abs().max() < 1e-9
+        # the fixture exercised every path
+        assert not dg.loc["img0000000004", "pixels_ok"]  # corrupt pixels
+        assert not dg.loc["img0000000005", "pixels_ok"]  # NULL payload
+        assert not dg.loc["imgRENAMED", "pixels_ok"]     # unknown id
+        assert not dg.loc["img0000000007", "caption_ok"]  # caption tamper
+        # lossy re-encode: bytes differ but decode passes the PSNR floor
+        r9 = dg.loc["img0000000008"]
+        assert r9.pixels_ok and 40.0 <= r9.psnr_db < 999.0
+
+    def test_digest_keep_cols_and_summary(self, spark, images, mutated):
+        chk = IU.check_invariants(
+            mutated, images, gate="digest", keep_cols=("lon", "lat")
+        )
+        assert {"lon", "lat"}.issubset(chk.columns)
+        summ = IU.invariant_summary(chk).collect()[0]
+        assert summ.n_rows == 60
+        assert summ.n_pixel_violations == 3
+        assert summ.n_caption_violations == 2  # tampered + renamed id
+
+    def test_digest_gate_rejects_unknown_mode(self, spark, images):
+        with pytest.raises(ValueError, match="gate"):
+            IU.check_invariants(images, images, gate="md5")
+
+
+class TestDigestSplitRouting:
+    """Digest-mode assign: passed-frame assignments, no silent drops,
+    lossy re-admission."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @pytest.fixture(scope="class")
+    def images(self, spark):
+        return IMG.images_df(spark, 80, partitions=4).cache()
+
+    @pytest.fixture(scope="class")
+    def areas(self, spark):
+        from housenumbercore_spark.sources import synthetic as S
+
+        return S.areas_df(spark, self.SF)
+
+    @pytest.fixture(scope="class")
+    def lossy(self, spark, images):
+        """One PNG row re-encoded lossy: bytes differ, PSNR >= 40."""
+        reenc = codec.encode_image(
+            codec.decode_image(
+                bytes(
+                    images.filter(F.col("image_id") == "img0000000008")
+                    .select("bytes").collect()[0][0]
+                )
+            ),
+            "jpgq",
+        )
+        return images.withColumn(
+            "bytes",
+            F.when(
+                F.col("image_id") == "img0000000008", F.lit(bytearray(reenc))
+            ).otherwise(F.col("bytes")),
+        )
+
+    def test_no_row_vanishes(self, spark, images, areas, lossy):
+        from housenumbercore_spark.images.assign import (
+            assign_gated_images_to_areas,
+        )
+
+        assigned, quarantine = assign_gated_images_to_areas(
+            spark, lossy, areas, src_df=images
+        )
+        q = quarantine.collect()
+        # the lossy row is NOT silently dropped: it sits in quarantine
+        # with its refined (passing) verdict
+        assert [r.image_id for r in q] == ["img0000000008"]
+        assert q[0].pixels_ok is True and 40.0 <= q[0].psnr_db < 999.0
+        assert assigned.filter(
+            F.col("image_id") == "img0000000008"
+        ).count() == 0
+
+    def test_readmit_lossy(self, spark, images, areas, lossy):
+        from housenumbercore_spark.images.assign import (
+            assign_gated_images_to_areas,
+        )
+        from housenumbercore_spark.operators import pip_join as PJ
+
+        assigned, quarantine = assign_gated_images_to_areas(
+            spark, lossy, areas, src_df=images, readmit_lossy=True
+        )
+        assert quarantine.count() == 0
+        direct = PJ.assign_points_to_areas(
+            spark, images.select("image_id", "lon", "lat"), areas
+        )
+        assert assigned.count() == direct.count()
+        assert assigned.filter(
+            F.col("image_id") == "img0000000008"
+        ).count() == direct.filter(
+            F.col("image_id") == "img0000000008"
+        ).count()
+
+    def test_digest_assignments_lineage_is_single_pass(
+        self, spark, images, areas
+    ):
+        """The digest-mode assignments plan must carry NO decode machinery:
+        no Python (MapInPandas), no payload refetch join, no union — one
+        narrow broadcast-gate pass into the spatial join. (cover_cells'
+        dim-side MapInPandas is the only Python allowed.)"""
+        from housenumbercore_spark.images.assign import (
+            assign_gated_images_to_areas,
+        )
+
+        from housenumbercore_spark.operators import pip_join as PJ
+
+        assigned, _ = assign_gated_images_to_areas(
+            spark, images, areas, tile_res=13
+        )
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # vs the ungated narrow join: the gate may add exactly ONE extra
+        # broadcast hash join (the narrow digest dim) and NOTHING else —
+        # no extra Python, no union branches, no payload refetch join
+        base = PJ.tile_assign(
+            PJ.assign_points_to_areas(
+                spark, images.select("image_id", "lon", "lat"), areas
+            ),
+            13,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Union") == base.count("Union"), plan
+        assert plan.count("BroadcastHashJoin") == base.count(
+            "BroadcastHashJoin"
+        ) + 1, plan
+        # the source generator's own MapInPandas appears once per gate side
+        assert plan.count("MapInPandas") <= base.count("MapInPandas") + 1, plan
