@@ -9,9 +9,10 @@ rows that carry the real binary payload:
   images (bytes, caption, phash, lon, lat)
     → replicate ×REP (fresh image_id, jittered lon — byte payloads reused)
     → GATE-EARLY (images/assign.assign_gated_images_to_areas): every
-      replicated payload row verified against the source INSIDE the JVM
-      (byte-equal fast path of images/udfs.check_invariants, broadcast
-      source); the binary column dies at the gate
+      replicated payload row digest-verified against the source INSIDE
+      the JVM (codegen checksums vs the ~40 B/row broadcast of
+      images/udfs.check_invariants_split; decode fallback only for
+      mismatches); the binary column dies at the gate
     → cell-cover broadcast join + pure-JVM exact refine on the NARROW
       (image_id, lon, lat) projection
     → tile assignment (codegen)
@@ -160,8 +161,10 @@ def main() -> None:
         "\n## Image-table flagship (north-rule metric shape: %s image rows "
         "with real byte payloads)\n\n"
         "Gate-early pipeline (images/assign.assign_gated_images_to_areas): "
-        "every replicated payload row byte-verified against the broadcast "
-        "source inside the JVM, then the spatial join + tile assignment run "
+        "every replicated payload row digest-verified against the ~40 B/row "
+        "broadcast source inside the JVM (codegen checksum compare; decode "
+        "fallback only for mismatches), then the spatial join + tile "
+        "assignment run "
         "on the narrow (image_id, lon, lat) projection (quarantine asserted "
         "empty in-run; assignment count asserted equal to the ungated "
         "join). Best-of-3, fresh JVM per level:\n\n"
@@ -172,7 +175,7 @@ def main() -> None:
         md += f"| local[{r['cpus']}] | {r['seconds']} | {r['rows_per_sec']:,} |\n"
     md += (
         f"\nEfficiency pairs: **{pairs}**. The payload is scanned and "
-        "byte-compared exactly once per fact row at the gate; it no longer "
+        "checksum-compared exactly once per fact row at the gate; it no longer "
         "rides through the join (the rounds-3/4 payload-through-join shape "
         "plateaued at 0.78-0.785 on 2→8 against the shared memory bus — "
         "see the design-history note in BENCH/image_flagship.py). Same "

@@ -43,6 +43,7 @@ QUERIES = [
     "knn_nearest_street_shuffle",
     "merge_upsert_snapshot",
     "snapshot_time_travel",
+    "image_gated_assign",
 ]
 
 
