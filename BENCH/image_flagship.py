@@ -25,7 +25,7 @@ on the 2→8 pair; gate-early/project-narrow is the shape that survives
 scale-up and is now the production operator (images/assign.py).
 
 Run at two parallelism levels in fresh subprocesses (north-rule N vs 4N
-proxy), best-of-3 each:
+proxy), best-of-≤5 within a 30 s budget each:
   python BENCH/image_flagship.py          # appends BENCH/BASELINE_extra.md
 """
 
@@ -72,12 +72,29 @@ def run_level(cpus: int) -> dict:
     # re-shuffle the payload on every batch, which no steady-state
     # deployment does, and 8 source files would cap local[32] at 8 busy
     # threads
-    staged = f"/tmp/imgflag_src_{N_IMAGES}_{PARTITIONS}.parquet"
+    # cache key includes the generator version so an edit to the image
+    # generator invalidates the staged copy instead of silently
+    # benchmarking stale data; the uuid tmp dir keeps concurrent
+    # invocations from interleaving part files (atomic-rename publish,
+    # same pattern as images_table itself)
+    staged = (
+        f"/tmp/imgflag_src_{N_IMAGES}_{PARTITIONS}"
+        f"_v{IMG.IMAGES_TABLE_VERSION}.parquet"
+    )
     if not os.path.isdir(staged):
+        import shutil
+        import uuid
+
+        tmp = f"{staged}.tmp-{uuid.uuid4().hex}"
         IMG.images_table(spark, N_IMAGES).repartition(PARTITIONS).write.mode(
             "overwrite"
-        ).parquet(staged + "._tmp")
-        os.rename(staged + "._tmp", staged)
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, staged)
+        except OSError:
+            if not os.path.isdir(staged):  # lost a race; winner's is valid
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     imgs = spark.read.parquet(staged)
     rep = spark.range(REP).select(F.col("id").alias("r"))
     fact_id = F.concat("image_id", F.lit("#"), F.col("r").cast("string"))
@@ -167,7 +184,8 @@ def main() -> None:
         "assignment run "
         "on the narrow (image_id, lon, lat) projection (quarantine asserted "
         "empty in-run; assignment count asserted equal to the ungated "
-        "join). Best-of-3, fresh JVM per level:\n\n"
+        "join). Best-of-≤5 within a 30 s budget, fresh JVM per level, "
+        "fixed 64-partition staged source:\n\n"
         "| parallelism | wall s | rows/sec |\n|---|---|---|\n"
         % f"{results[0]['images']:,}"
     )

@@ -56,9 +56,18 @@ def assign_gated_images_to_areas(
     assignments: one NARROW row per (verified image, covering area) —
     (image_id, lon, lat, psnr_db, area_id [, tile_id]); payload bytes are
     referenced by image_id into the source table, never duplicated per
-    covering admin level.
-    quarantine: gate verdicts for rows failing the pixel/caption invariant
-    (image_id, psnr_db, pixels_ok, caption_ok, lon, lat).
+    covering admin level. A verified image covered by NO area yields no
+    assignment row (the spatial join is inner, matching the reference's
+    evaluation: a point outside every polygon has no evaluation row) —
+    reconcile totals as |verified ids| = |input| − |quarantine ids|, not
+    against the assignment row count.
+    quarantine: gate verdicts (image_id, psnr_db, pixels_ok, caption_ok,
+    lon, lat) for every row withheld from the assignment input. With
+    ``gate="bytes"`` (or ``readmit_lossy=True``) that is exactly the rows
+    failing the pixel/caption invariant; with the default digest gate it
+    is every row failing the CHECKSUM gate — including a lossy re-encode
+    whose decoded pixels pass the PSNR floor, which appears here with
+    ``pixels_ok=True`` (see row routing below).
 
     ``src_df`` defaults to ``images`` itself (self-check: catches payload
     corruption introduced upstream of this operator only when ids are
@@ -78,14 +87,18 @@ def assign_gated_images_to_areas(
     comparison.
 
     Digest-mode row routing: assignments build on the digest-PASSED frame
-    only, so their lineage is one narrow pass with no decode machinery; a
-    row whose bytes differ from the source but whose pixels survive the
-    PSNR floor (lossy re-encode) appears in ``quarantine`` with
-    ``pixels_ok=True`` rather than being silently dropped — pass
-    ``readmit_lossy=True`` to union such rows back into the assignment
-    input (costs the decode subplan inside the assignments lineage, the
-    byte-gate behavior). No row ever vanishes: assignments ∪ quarantine
-    covers every input row.
+    only, so their lineage is one narrow pass with no decode machinery —
+    the deliberate trade is that an invariant-PASSING lossy re-encode is
+    withheld from assignments (quarantined with ``pixels_ok=True``, never
+    silently dropped) unless ``readmit_lossy=True`` unions such rows back
+    into the assignment input. Re-admission restores byte-gate assignment
+    semantics at the cost of carrying the decode subplan (and the payload
+    refetch join) inside the assignments lineage, which forfeits the
+    pure-codegen narrow plan; leave it False when upstream never
+    re-encodes (then any quarantine row IS a violation) or when a
+    downstream pass re-admits from the quarantine verdicts explicitly.
+    Every input row lands in exactly one of (verified, quarantine); only
+    verified rows proceed to the spatial join.
     """
     src = src_df if src_df is not None else images
     ok = F.col("pixels_ok") & F.col("caption_ok")
@@ -102,25 +115,20 @@ def assign_gated_images_to_areas(
         else:
             verified = passed
             quarantine = refined
-        verified = verified.select("image_id", "psnr_db", lon, lat)
-        assigned = PJ.assign_points_to_areas(
-            spark, verified, areas, lon=lon, lat=lat, **pip_kwargs
+    else:
+        checked = IU.check_invariants(
+            images, src,
+            keep_cols=(lon, lat),
+            src_id_col=src_id_col,
+            broadcast_src=broadcast_src,
+            gate=gate,
         )
-        if tile_res is not None:
-            assigned = PJ.tile_assign(assigned, tile_res, lon=lon, lat=lat)
-        return assigned, quarantine
-    checked = IU.check_invariants(
-        images,
-        src,
-        keep_cols=(lon, lat),
-        src_id_col=src_id_col,
-        broadcast_src=broadcast_src,
-        gate=gate,
-    )
-    quarantine = checked.filter(~ok)
-    verified = checked.filter(ok).select("image_id", "psnr_db", lon, lat)
+        verified = checked.filter(ok)
+        quarantine = checked.filter(~ok)
     assigned = PJ.assign_points_to_areas(
-        spark, verified, areas, lon=lon, lat=lat, **pip_kwargs
+        spark,
+        verified.select("image_id", "psnr_db", lon, lat),
+        areas, lon=lon, lat=lat, **pip_kwargs,
     )
     if tile_res is not None:
         assigned = PJ.tile_assign(assigned, tile_res, lon=lon, lat=lat)

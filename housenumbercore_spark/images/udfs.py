@@ -31,6 +31,40 @@ _SCHEMA = T.StructType(
 )
 
 
+# columns the gate introduces internally or returns; keep_cols may not
+# shadow any of them (single source of truth for BOTH entry points)
+_GATE_RESERVED = frozenset({
+    "image_id", "psnr_db", "pixels_ok", "caption_ok",
+    "__ob", "__oc", "__sb", "__sc", "__sid",
+    "__sh1", "__sh2", "__scrc", "__slen",
+})
+
+
+def _gate_projection(
+    out_df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    caption_col: str,
+    keep_cols: tuple[str, ...],
+    src_id_col: str | None,
+) -> DataFrame:
+    """Fact-side projection shared by :func:`check_invariants` and
+    :func:`check_invariants_split`: validates keep_cols against the
+    reserved gate columns and renames the payload/caption/id columns to
+    the internal ``__``-prefixed names."""
+    bad = _GATE_RESERVED.intersection(keep_cols)
+    if bad:
+        raise ValueError(f"keep_cols collide with gate columns: {sorted(bad)}")
+    sid = src_id_col or id_col
+    return out_df.select(
+        F.col(id_col).alias("image_id"),
+        F.col(sid).alias("__sid"),
+        F.col(bytes_col).alias("__ob"),
+        F.col(caption_col).alias("__oc"),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
 def check_invariants(
     out_df: DataFrame,
     src_df: DataFrame,
@@ -81,20 +115,8 @@ def check_invariants(
     """
     if gate not in ("bytes", "digest"):
         raise ValueError(f"gate must be 'bytes' or 'digest', got {gate!r}")
-    reserved = {"image_id", "psnr_db", "pixels_ok", "caption_ok",
-                "__ob", "__oc", "__sb", "__sc", "__sid",
-                "__sh1", "__sh2", "__scrc", "__slen"}
-    bad = reserved.intersection(keep_cols)
-    if bad:
-        raise ValueError(f"keep_cols collide with gate columns: {sorted(bad)}")
-    sid = src_id_col or id_col
-    o = out_df.select(
-        F.col(id_col).alias("image_id"),
-        F.col(sid).alias("__sid"),
-        F.col(bytes_col).alias("__ob"),
-        F.col(caption_col).alias("__oc"),
-        *[F.col(c) for c in keep_cols],
-    )
+    o = _gate_projection(out_df, id_col, bytes_col, caption_col,
+                         keep_cols, src_id_col)
     if gate == "digest":
         return _check_invariants_digest(
             o, src_df, id_col, bytes_col, caption_col, keep_cols,
@@ -181,11 +203,17 @@ def _decode_diff(diff: DataFrame, keep_cols: tuple[str, ...]) -> DataFrame:
 
 def _digest_cols(b):
     """Content checksums for the digest gate: two independent xxhash64
-    streams (the second mixes in a literal, changing the hash input),
-    crc32, and length — joint collision odds ~2⁻¹⁶⁰."""
+    streams, crc32, and length — joint collision odds ~2⁻¹⁶⁰.
+
+    Spark folds multi-arg hashes left-to-right with the running hash as
+    the SEED, so the literal must come FIRST: ``xxhash64(lit(1), b)``
+    hashes the payload under a different fixed seed (a genuinely
+    independent stream), whereas ``xxhash64(b, lit(1))`` would hash the
+    constant seeded by the first stream's value — a pure function of it,
+    adding zero collision resistance."""
     return (
         F.xxhash64(b),
-        F.xxhash64(b, F.lit(1)),
+        F.xxhash64(F.lit(1), b),
         F.crc32(b),
         F.length(b).cast("long"),
     )
@@ -248,6 +276,13 @@ def _digest_gate_split(
     payload = src_df.select(
         F.col(id_col).alias("__sid"), F.col(bytes_col).alias("__sb")
     )
+    if broadcast_src:
+        # the refetch join inherits the caller's size assertion: without
+        # the hint Catalyst plans an SMJ that shuffles the FULL source
+        # payload (its byte-inflated size estimate is over the auto
+        # threshold by construction) even when one row is suspect. The
+        # broadcast only builds if the suspects frame is materialized.
+        payload = F.broadcast(payload)
     suspect = (
         joined.filter(~(digest_equal & cap_ok_col))
         .drop("__sh1", "__sh2", "__scrc", "__slen")
@@ -257,17 +292,16 @@ def _digest_gate_split(
     # digest-equal rows landing here failed only the caption check; their
     # decode would be a pointless identical-payload round-trip, so the
     # refine keeps the byte-equal fast verdict for them inside the JVM
+    byte_equal = (
+        F.col("__ob").isNotNull()
+        & F.col("__sb").isNotNull()
+        & (F.col("__ob") == F.col("__sb"))
+    )
     refined = _decode_diff(
-        suspect.filter(
-            ~(F.col("__ob").isNotNull() & F.col("__sb").isNotNull()
-              & (F.col("__ob") == F.col("__sb")))
-        ),
+        suspect.filter(~byte_equal),
         keep_cols,
     ).unionByName(
-        suspect.filter(
-            F.col("__ob").isNotNull() & F.col("__sb").isNotNull()
-            & (F.col("__ob") == F.col("__sb"))
-        ).select(
+        suspect.filter(byte_equal).select(
             "image_id",
             F.lit(999.0).alias("psnr_db"),
             F.lit(True).alias("pixels_ok"),
@@ -315,20 +349,8 @@ def check_invariants_split(
     while ``suspects`` (decode-refined verdicts with real PSNR, payload
     refetch) only executes when the caller materializes it.
     """
-    reserved = {"image_id", "psnr_db", "pixels_ok", "caption_ok",
-                "__ob", "__oc", "__sb", "__sc", "__sid",
-                "__sh1", "__sh2", "__scrc", "__slen"}
-    bad = reserved.intersection(keep_cols)
-    if bad:
-        raise ValueError(f"keep_cols collide with gate columns: {sorted(bad)}")
-    sid = src_id_col or id_col
-    o = out_df.select(
-        F.col(id_col).alias("image_id"),
-        F.col(sid).alias("__sid"),
-        F.col(bytes_col).alias("__ob"),
-        F.col(caption_col).alias("__oc"),
-        *[F.col(c) for c in keep_cols],
-    )
+    o = _gate_projection(out_df, id_col, bytes_col, caption_col,
+                         keep_cols, src_id_col)
     return _digest_gate_split(
         o, src_df, id_col, bytes_col, caption_col, keep_cols, broadcast_src
     )

@@ -747,3 +747,58 @@ class TestDigestSplitRouting:
         ) + 1, plan
         # the source generator's own MapInPandas appears once per gate side
         assert plan.count("MapInPandas") <= base.count("MapInPandas") + 1, plan
+
+
+class TestDigestReviewRegressions:
+    """Review findings on the digest gate: independent second hash stream,
+    broadcast refetch join, shared keep_cols validation."""
+
+    @pytest.fixture(scope="class")
+    def images(self, spark):
+        return IMG.images_df(spark, 40, partitions=2).cache()
+
+    def test_second_hash_stream_not_derived_from_first(self, spark):
+        """Spark folds multi-arg hashes with the running hash as SEED, so
+        xxhash64(b, lit(1)) is a pure function of xxhash64(b) — a first-
+        stream collision always propagates. The gate must use the
+        literal-FIRST form (different fixed seed, independent stream)."""
+        from housenumbercore_spark.images.udfs import _digest_cols
+
+        b = F.lit(bytearray(b"payload-bytes"))
+        h2 = _digest_cols(b)[1]
+        row = spark.range(1).select(
+            h2.alias("gate"),
+            F.xxhash64(b, F.lit(1)).alias("dependent_form"),
+            F.xxhash64(F.lit(1), b).alias("independent_form"),
+        ).collect()[0]
+        assert row.gate == row.independent_form
+        assert row.gate != row.dependent_form
+
+    def test_quarantine_refetch_join_broadcasts_source(self, spark, images):
+        """broadcast_src=True must reach the payload REFETCH join too: a
+        payload-heavy source over the auto threshold would otherwise plan
+        a sort-merge join that shuffles every source byte exactly when a
+        single row is suspect."""
+        corrupted = images.withColumn(
+            "caption",
+            F.when(F.col("image_id") == "img0000000003", F.lit("x"))
+            .otherwise(F.col("caption")),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:  # kill AUTO broadcast: only explicit hints act
+            _, refined = IU.check_invariants_split(
+                corrupted, images, broadcast_src=True
+            )
+            plan = refined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" not in plan, plan
+            assert "ShuffledHashJoin" not in plan, plan
+            q = refined.collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert [r.image_id for r in q] == ["img0000000003"]
+        assert q[0].caption_ok is False and q[0].pixels_ok is True
+
+    def test_split_keep_cols_collision_raises(self, spark, images):
+        with pytest.raises(ValueError, match="collide"):
+            IU.check_invariants_split(images, images, keep_cols=("__sid",))
