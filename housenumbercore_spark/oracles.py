@@ -178,7 +178,7 @@ updates AS (
               ELSE housenumber END AS housenumber
   FROM base WHERE source_id % 13 <> 0
   UNION ALL
-  SELECT source_id + 10000000 AS source_id, street, housenumber || 'n'
+  SELECT -(source_id + 1) AS source_id, street, housenumber || 'n'
   FROM base WHERE source_id % 17 = 0),
 diff AS (
   -- null-safe key join + presence flags, mirroring merge_actions (a NULL

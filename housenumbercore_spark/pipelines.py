@@ -15,6 +15,19 @@ from .operators import match_eval as ME
 from .sources import addresses as A
 
 
+def _materialize_then_rm(df: DataFrame, path: str) -> DataFrame:
+    """Pin a query result that was computed from a throwaway on-disk table,
+    then delete the table: localCheckpoint (eager) moves the rows into
+    executor block storage, cutting the lineage back to ``path``, so the
+    tempdir does not leak a table copy per invocation (the same
+    materialize-then-delete pattern as snapshot_time_travel)."""
+    import shutil
+
+    out = df.localCheckpoint()
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def official_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Official list keyed + first-wins deduped (HousenumberList.
     addHousenumber:161-173 keeps the FIRST occurrence; determinised here as
@@ -332,8 +345,12 @@ def _merge_inputs(spark: SparkSession, sf_dir: str):
             F.col("housenumber")
         ),
     )
+    # insert keys are NEGATIVE (-(sid+1)) so they can never collide with a
+    # real customer-derived key at ANY scale — an additive offset (the old
+    # sid + 10_000_000) aliases back into the key space once the customer
+    # table exceeds the offset, making `updates` carry duplicate keys
     upd_new = base.filter(sid % 17 == 0).select(
-        (sid + 10_000_000).alias("source_id"),
+        (-(sid + 1)).alias("source_id"),
         "street",
         F.concat("housenumber", F.lit("n")).alias("housenumber"),
     )
@@ -376,7 +393,10 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, updates.select("*", part), ["source_id"], ["part"],
         deletes=deletes,
     )
-    return spark.read.parquet(path).select("source_id", "street", "housenumber")
+    merged = spark.read.parquet(path).select(
+        "source_id", "street", "housenumber"
+    )
+    return _materialize_then_rm(merged, path)
 
 
 def boundary_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,8 +493,25 @@ def _csv_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os
     import tempfile
+    import uuid
 
-    tag = hashlib.md5(f"{sf_dir}:{CSV_FIXTURE_VERSION}".encode()).hexdigest()[:10]
+    # cache key covers the SOURCE DATA (size + mtime of orders.parquet),
+    # not just the directory path — regenerated testdata under the same
+    # sf_dir invalidates the fixture instead of serving stale rows
+    src = f"{sf_dir}/orders.parquet"
+    if os.path.isdir(src):
+        stat = ";".join(
+            f"{n}:{os.path.getsize(os.path.join(src, n))}"
+            f":{os.path.getmtime(os.path.join(src, n))}"
+            for n in sorted(os.listdir(src))
+            if not n.startswith((".", "_"))
+        )
+    else:
+        st = os.stat(src)
+        stat = f"{st.st_size}:{st.st_mtime_ns}"
+    tag = hashlib.md5(
+        f"{sf_dir}:{stat}:{CSV_FIXTURE_VERSION}".encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"hns_list_{tag}.csv")
     if os.path.exists(path):
         return path
@@ -494,7 +531,10 @@ def _csv_fixture_path(spark: SparkSession, sf_dir: str) -> str:
         .orderBy("fid")
         .toPandas()
     )
-    tmp = path + ".tmp"
+    # uuid tmp: concurrent writers (two drivers, parallel tests) each write
+    # privately and publish with an atomic rename — no interleaved bytes,
+    # no FileNotFoundError when the loser's tmp was already moved
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     pdf.to_csv(tmp, sep=";", index=False, encoding="utf-8-sig")
     os.replace(tmp, path)
     return path
@@ -550,7 +590,6 @@ def suburb_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _boundary_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each municipality box split into its 4 quadrant boxes = the members
     of one admin boundary relation (deterministic, SQL-recomputable)."""
-    from .geo import geometry as G
     from .sources import synthetic as S
 
     quads = spark.range(4).select(F.col("id").alias("q"))
@@ -812,14 +851,12 @@ def stream_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fmt")
         .agg(F.count(F.lit(1)).alias("n_rejected"))
     )
-    return (
-        acc.join(rej, "fmt", "full_outer")
-        .select(
-            "fmt",
-            F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
-            F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
-        )
+    counts = acc.join(rej, "fmt", "full_outer").select(
+        "fmt",
+        F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
+        F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
     )
+    return _materialize_then_rm(counts, base)
 
 
 def stream_image_gate_sql() -> str:
@@ -847,9 +884,12 @@ def spatial_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = S.points_df(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="hns_layout_q_")
     L.write_spatial(pts, path, part_res=8)
-    return L.read_window(spark, path, *WINDOW_BOX, part_res=8).select(
+    win = L.read_window(spark, path, *WINDOW_BOX, part_res=8).select(
         "point_id", "lon", "lat"
     )
+    # (the pruning/pushdown plan itself is asserted in tests/test_layout.py
+    # against read_window directly; this query verifies the VALUES)
+    return _materialize_then_rm(win, path)
 
 
 def spatial_window_read_sql() -> str:

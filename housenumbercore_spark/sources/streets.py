@@ -27,6 +27,12 @@ from . import synthetic as S
 N_STREET_NAMES = 40
 SEG_HALF = 0.005  # half-length in lon degrees
 
+# sub-grid-step epsilon per 1000-block of s_suppkey (see the injectivity
+# note in street_segments_df); exact powers of two in the divisor keep the
+# product representable identically on both engines
+_EPS_X = S.LON_SPAN / 1000.0 / 1048576.0
+_EPS_Y = S.LAT_SPAN / 1000.0 / 1048576.0
+
 # OSMStreet.java:89-101 / :203-217
 HIGHWAY_WHITELIST = [
     "primary", "secondary", "tertiary", "unclassified", "residential",
@@ -42,8 +48,24 @@ def street_segments_df(spark: SparkSession, sf_dir: str, with_wkb: bool = False)
     """(osm_id, street_key, name, highway, x0, y0, x1, y1 [, linestring])."""
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     k = F.col("s_suppkey")
-    cx = F.lit(S.LON0) + ((k * 31) % 1000 + 0.5) / 1000.0 * S.LON_SPAN
-    cy = F.lit(S.LAT0) + ((k * 57) % 1000 + 0.5) / 1000.0 * S.LAT_SPAN
+    # The grid residues (k*31 % 1000, k*57 % 1000) repeat with period 1000
+    # in s_suppkey, so above 1000 suppliers (sf > 0.1) two different
+    # street_keys would produce byte-identical coordinates and the engine's
+    # linemerge would stitch chains ACROSS street_keys while the oracle's
+    # per-street_key chain CTE would not. The epsilon term — a sub-grid-
+    # step offset proportional to floor(k/1000) — makes each coordinate
+    # injective in k (for k < ~10⁹) while being EXACTLY 0.0 for k < 1000,
+    # leaving every value at the tested scales bit-identical. Both engines
+    # evaluate the same literal expression shape, so the doubles agree.
+    eps_f = F.floor(k / F.lit(1000.0))
+    cx = (
+        F.lit(S.LON0) + ((k * 31) % 1000 + 0.5) / 1000.0 * S.LON_SPAN
+        + eps_f * F.lit(_EPS_X)
+    )
+    cy = (
+        F.lit(S.LAT0) + ((k * 57) % 1000 + 0.5) / 1000.0 * S.LAT_SPAN
+        + eps_f * F.lit(_EPS_Y)
+    )
     base = sup.select(
         k.alias("street_key"),
         F.concat(F.lit("Street "), (k % N_STREET_NAMES).cast("string")).alias("name"),
@@ -84,8 +106,15 @@ def street_segments_df(spark: SparkSession, sf_dir: str, with_wkb: bool = False)
 
 def street_segments_sql() -> str:
     k = "s_suppkey"
-    cx = f"({S.LON0!r} + ((({k} * 31) % 1000) + 0.5) / 1000.0 * {S.LON_SPAN!r})"
-    cy = f"({S.LAT0!r} + ((({k} * 57) % 1000) + 0.5) / 1000.0 * {S.LAT_SPAN!r})"
+    eps = f"FLOOR({k} / 1000.0)"
+    cx = (
+        f"({S.LON0!r} + ((({k} * 31) % 1000) + 0.5) / 1000.0 * {S.LON_SPAN!r}"
+        f" + {eps} * {_EPS_X!r})"
+    )
+    cy = (
+        f"({S.LAT0!r} + ((({k} * 57) % 1000) + 0.5) / 1000.0 * {S.LAT_SPAN!r}"
+        f" + {eps} * {_EPS_Y!r})"
+    )
     hw = (
         "CASE " + " ".join(
             f"WHEN {k} % 10 = {i} THEN '{h}'" for i, h in enumerate(_HIGHWAY_CYCLE)

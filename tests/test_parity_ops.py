@@ -219,3 +219,51 @@ def test_stateful_null_value_and_ts_skip_like_sql(spark, tmp_path):
     assert row.value_cents == int(want["value_cents"]) == 350
     assert row.first_ts == want["first_ts"].to_pydatetime()
     assert row.last_ts == want["last_ts"].to_pydatetime()
+
+
+def test_street_merge_stats_beyond_generator_period(spark, tmp_path):
+    """Regression (scale landmine): the street grid residues repeat with
+    period 1000 in s_suppkey, so above 1000 suppliers two street_keys used
+    to collide to byte-identical coordinates — the engine's linemerge then
+    stitched chains ACROSS street_keys while the oracle's per-key chain CTE
+    did not. The injectivity epsilon (sources/streets.py) must keep engine
+    and oracle in exact agreement at 2.5x the period."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.sources import streets as STR
+
+    stage = tmp_path / "_stage"
+    (
+        spark.range(1, 2501)
+        .select(F.col("id").cast("long").alias("s_suppkey"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(stage))
+    )
+    shutil.move(
+        glob.glob(str(stage / "part-*.parquet"))[0],
+        str(tmp_path / "supplier.parquet"),
+    )
+    for t in ("nation", "region"):
+        shutil.copy(f"{SF}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+
+    # coordinates are injective: 2500 keys -> 2500 distinct segment-1 starts
+    segs = STR.street_segments_df(spark, str(tmp_path))
+    s1 = segs.filter(F.col("osm_id") % 10 == 0)
+    assert s1.select("x0", "y0").distinct().count() == 2500
+
+    got = _normalize(P.street_merge_stats(spark, str(tmp_path)).toPandas())
+    con = duckdb.connect()
+    for t in ("supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = _normalize(con.execute(P.street_merge_stats_sql()).df())
+    con.close()
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
