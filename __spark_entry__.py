@@ -124,8 +124,18 @@ def _q_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         return PJ.tile_assign(pts, TILE_RES).select("point_id", "tile_id")
 
     out = tempfile.mkdtemp(prefix="hns_ckpt_")
-    CP.checkpointed_run(spark, build, [0, 1, 2, 3], out, "driver", max_concurrency=2)
-    return CP.manifest_summary(spark, out)
+    try:
+        CP.checkpointed_run(
+            spark, build, [0, 1, 2, 3], out, "driver", max_concurrency=2
+        )
+        # manifest_summary builds from driver-local rows, so the checkpoint
+        # table can be deleted (repeated invocations otherwise leak a full
+        # tile-assignment copy under /tmp per call)
+        return CP.manifest_summary(spark, out)
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
 
 
 N_CKPT_IMAGES = 800
@@ -155,10 +165,18 @@ def _q_checkpoint_image_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = tempfile.mkdtemp(prefix="hns_img_ckpt_")
-    CP.checkpointed_run(spark, build, [0, 1, 2, 3], out, "imgsnap", max_concurrency=2)
-    return CP.manifest_summary_full(spark, out).select(
-        "partition", "input_fingerprint", "row_count", "cell_min", "cell_max"
-    )
+    try:
+        CP.checkpointed_run(
+            spark, build, [0, 1, 2, 3], out, "imgsnap", max_concurrency=2
+        )
+        return CP.manifest_summary_full(spark, out).select(
+            "partition", "input_fingerprint", "row_count", "cell_min",
+            "cell_max",
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _q_image_gated_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,10 +225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (``dedup_clusters`` … ``ivf_recall``), and the 9 queries displaced
       from the round-3 window (``lu_commune_lookup`` …
       ``audio_feature_stats``).
-    - Entries 51-72 (from ``knn_nearest_street_k3`` on) are driver-green
-      in CORRECTNESS_r03 (except ``snapshot_time_travel`` and the four
-      image-dedup/corpus queries, new in round 4) and rotate back into the
-      window next round (swap the two blocks below); each is also a
+    - Entries 51-73 (from ``knn_nearest_street_k3`` on) are driver-green
+      in CORRECTNESS_r03 (except ``snapshot_time_travel``, the four
+      image-dedup/corpus queries and ``image_gated_assign``, new in
+      round 4) and rotate back into the window next round (swap the two
+      blocks below — the WHOLE rotation block, entries 51-73); each is a
       near-sibling of an in-window query (same operator, different
       parameter/path) and every one is value-checked every round by the
       local parity gates (tests/test_parity_ops.py,
@@ -278,7 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_stats": P.image_resize_stats,
         "video_frame_sample": P.video_frame_sample,
         "audio_feature_stats": P.audio_feature_stats,
-        # ---- rotation block (entries 51-67, all driver-green in r3;
+        # ---- rotation block (entries 51-73; 51-67 driver-green in r3;
         # swap with equally-sized in-window siblings next round) ----
         "knn_nearest_street_k3": lambda s, d: P.knn_nearest_street(s, d, k=3),
         # same result through the salted SHUFFLE candidate join (the path

@@ -109,7 +109,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         from housenumbercore_spark.operators import pip_join as PJ
         from housenumbercore_spark.sources import synthetic as S
 
-        pts = S.points_df(spark, sf_dir).repartition(int(cpus) * 2)
+        # '*' (session.py's "all cores" value) falls back to the machine's
+        # CPU count instead of crashing the whole run at the last stage
+        n_cpus = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+        pts = S.points_df(spark, sf_dir).repartition(n_cpus * 2)
         big = pts.crossJoin(F.broadcast(rep)).select(
             (F.col("point_id") * rep_n + F.col("r")).alias("point_id"),
             (F.col("lon") + (F.col("r") - rep_n / 2) * 1e-7).alias("lon"),

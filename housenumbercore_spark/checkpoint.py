@@ -62,8 +62,9 @@ _ROW_DIGEST_SQL = (
 )
 
 
-def row_digest_col(df: DataFrame | None = None):
-    """60-bit row hash over the canonical JSON of all columns."""
+def row_digest_col():
+    """60-bit row hash over the canonical JSON of all columns of whatever
+    frame the expression is attached to."""
     return F.expr(_ROW_DIGEST_SQL)
 
 
@@ -111,21 +112,59 @@ def _manifest_path(out_dir: str, key) -> str:
     return os.path.join(_part_dir(out_dir, key), MANIFEST_NAME)
 
 
-def load_manifest(out_dir: str, key) -> PartitionManifest | None:
-    p = _manifest_path(out_dir, key)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return PartitionManifest(**json.load(f))
+# All manifest I/O goes through the Hadoop FileSystem API (same rule as
+# sources/sinks.py and streaming/images.py): the data writes go through
+# Spark, so on a non-local out_dir (hdfs://, s3a://) driver-local POSIX
+# calls would split manifests and data across two filesystems — a stale
+# LOCAL manifest could then silently skip recomputation of LOST remote
+# data, defeating the protocol.
 
 
-def _commit_manifest(out_dir: str, m: PartitionManifest) -> None:
-    """Atomic: write sibling tmp, then rename over the final name."""
-    final = _manifest_path(out_dir, m.partition)
-    tmp = final + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(asdict(m), f)
-    os.replace(tmp, final)
+def load_manifest(
+    spark: SparkSession, out_dir: str, key
+) -> PartitionManifest | None:
+    from .sources.sinks import _hadoop_fs
+    from .sources.snapshots import _read_text
+
+    jvm, fs, _ = _hadoop_fs(spark, out_dir)
+    text = _read_text(
+        fs, jvm, jvm.org.apache.hadoop.fs.Path(_manifest_path(out_dir, key))
+    )
+    return None if text is None else PartitionManifest(**json.loads(text))
+
+
+def _commit_manifest(
+    spark: SparkSession, out_dir: str, m: PartitionManifest
+) -> None:
+    """Atomic: write sibling tmp, then rename over the final name (a rerun
+    after a fingerprint change legitimately replaces the old manifest)."""
+    from .sources.snapshots import _write_text_atomic
+
+    _write_text_atomic(
+        spark, _manifest_path(out_dir, m.partition), json.dumps(asdict(m))
+    )
+
+
+def _committed_part_names(spark: SparkSession, out_dir: str) -> list[str]:
+    """Sorted ``part=<key>`` directory names under ``out_dir`` that carry a
+    manifest (i.e. committed partitions), via the Hadoop FileSystem API."""
+    from .sources.sinks import _hadoop_fs
+
+    jvm, fs, base = _hadoop_fs(spark, out_dir)
+    out = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("part=")
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(out_dir, name, MANIFEST_NAME)
+                )
+            )
+        ):
+            out.append(name)
+    return sorted(out)
 
 
 class PartitionFailure(RuntimeError):
@@ -149,11 +188,14 @@ def checkpointed_run(
     (data may be partially written — exactly the crash the manifest protocol
     must survive).
     """
-    os.makedirs(out_dir, exist_ok=True)
+    from .sources.sinks import _hadoop_fs
+
+    _, fs, base = _hadoop_fs(spark, out_dir)
+    fs.mkdirs(base)
     skipped, computed = [], []
 
     def run_one(key) -> None:
-        m = load_manifest(out_dir, key)
+        m = load_manifest(spark, out_dir, key)
         if m is not None and m.input_fingerprint == input_fingerprint:
             skipped.append(key)
             return
@@ -164,6 +206,7 @@ def checkpointed_run(
             raise PartitionFailure(f"injected failure on partition {key}")
         stats = compute_stats(spark.read.parquet(pdir))
         _commit_manifest(
+            spark,
             out_dir,
             PartitionManifest(
                 partition=str(key),
@@ -201,9 +244,7 @@ def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
     """
     dirs = [
         os.path.join(out_dir, d)
-        for d in sorted(os.listdir(out_dir))
-        if d.startswith("part=")
-        and os.path.exists(os.path.join(out_dir, d, MANIFEST_NAME))
+        for d in _committed_part_names(spark, out_dir)
     ]
     if not dirs:
         raise FileNotFoundError(
@@ -213,34 +254,33 @@ def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.option("basePath", out_dir).parquet(*dirs)
 
 
+def _load_committed(
+    spark: SparkSession, out_dir: str
+) -> list[PartitionManifest]:
+    """All committed partitions' manifests, sorted by directory name — the
+    single row loader behind both summary views and the verifier."""
+    out = []
+    for d in _committed_part_names(spark, out_dir):
+        m = load_manifest(spark, out_dir, d.split("=", 1)[1])
+        if m is not None:
+            out.append(m)
+    return out
+
+
 def manifest_summary(spark: SparkSession, out_dir: str) -> DataFrame:
     """Lineage manifest as a DataFrame (partition, fingerprint, rows, digest)."""
-    rows = []
-    for d in sorted(os.listdir(out_dir)):
-        if d.startswith("part="):
-            m = load_manifest(out_dir, d.split("=", 1)[1])
-            if m is not None:
-                rows.append(
-                    (m.partition, m.input_fingerprint, m.row_count, m.value_digest)
-                )
-    return spark.createDataFrame(
-        rows,
-        "partition string, input_fingerprint string, "
-        "row_count long, value_digest long",
+    return manifest_summary_full(spark, out_dir).select(
+        "partition", "input_fingerprint", "row_count", "value_digest"
     )
 
 
 def manifest_summary_full(spark: SparkSession, out_dir: str) -> DataFrame:
     """Full north-rule lineage view: + cell range and pixel digest."""
-    rows = []
-    for d in sorted(os.listdir(out_dir)):
-        if d.startswith("part="):
-            m = load_manifest(out_dir, d.split("=", 1)[1])
-            if m is not None:
-                rows.append(
-                    (m.partition, m.input_fingerprint, m.row_count,
-                     m.value_digest, m.cell_min, m.cell_max, m.pixel_digest)
-                )
+    rows = [
+        (m.partition, m.input_fingerprint, m.row_count,
+         m.value_digest, m.cell_min, m.cell_max, m.pixel_digest)
+        for m in _load_committed(spark, out_dir)
+    ]
     return spark.createDataFrame(
         rows,
         "partition string, input_fingerprint string, row_count long, "
@@ -252,14 +292,10 @@ def verify_checkpoints(spark: SparkSession, out_dir: str) -> DataFrame:
     """Recompute (count, digest) of each committed partition's data and
     compare with its manifest — the audit the lineage exists for."""
     rows = []
-    for d in sorted(os.listdir(out_dir)):
-        if not d.startswith("part="):
-            continue
-        key = d.split("=", 1)[1]
-        m = load_manifest(out_dir, key)
-        if m is None:
-            continue
-        n, digest = compute_digest(spark.read.parquet(os.path.join(out_dir, d)))
+    for m in _load_committed(spark, out_dir):
+        n, digest = compute_digest(
+            spark.read.parquet(_part_dir(out_dir, m.partition))
+        )
         rows.append(
             (m.partition, m.row_count, n, m.value_digest, digest,
              m.row_count == n and m.value_digest == digest)

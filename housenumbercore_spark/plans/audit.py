@@ -39,12 +39,45 @@ def simple_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _top_level_fields(schema_body: str) -> list[str]:
+    """Top-level column names of a ``struct<...>`` body, bracket-aware: a
+    naive comma split would fabricate names from NESTED struct fields
+    (``w:struct<start:timestamp,end:timestamp>,x:int`` → ['w','end','x'])."""
+    cols, depth, start = [], 0, 0
+    for i, ch in enumerate(schema_body):
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cols.append(schema_body[start:i])
+            start = i + 1
+    tail = schema_body[start:]
+    if tail:
+        cols.append(tail)
+    return [c.split(":", 1)[0].strip() for c in cols if c.strip()]
+
+
+def _read_schema_bodies(plan: str) -> list[str]:
+    """The balanced ``struct<...>`` body of every ReadSchema line (the
+    regex ``[^>]*`` would truncate at a nested struct's first '>')."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        i, depth = m.end(), 1
+        while i < len(plan) and depth:
+            if plan[i] == "<":
+                depth += 1
+            elif plan[i] == ">":
+                depth -= 1
+            i += 1
+        out.append(plan[m.end():i - 1])
+    return out
+
+
 def audit_plan(df: DataFrame) -> dict:
     plan = formatted_plan(df)
     simple = simple_plan(df)
-    read_schemas = [
-        m.group(1) for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
-    ]
+    read_schemas = _read_schema_bodies(plan)
     pushed = [
         m.group(1).strip()
         for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
@@ -63,8 +96,6 @@ def audit_plan(df: DataFrame) -> dict:
         # simple mode prints codegen'd operators as "*(n) Op"
         "wholestage_codegen": "WholeStageCodegen" in plan or "*(" in simple,
         "pushed_filters": [p for p in pushed if p],
-        "read_schemas": [
-            [c.split(":")[0] for c in s.split(",") if c] for s in read_schemas
-        ],
+        "read_schemas": [_top_level_fields(s) for s in read_schemas],
         "plan": plan,
     }

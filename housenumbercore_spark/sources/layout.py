@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from ..geo import cells as C
 
-PART_RES = 5     # ~1100 km cells → 10³-10⁴ partitions over a continent
+PART_RES = 5     # 32×32 grid globally → ~50-200 ~1100 km cells over a
+# continent; raise to 8 (256×256, ~140 km cells) for continental datasets
+# that want 10³-10⁴ prunable partitions — spatial_window_read does
 SORT_RES = 13    # fine cell for row-group locality + min/max pruning
 
 

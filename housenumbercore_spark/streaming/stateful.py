@@ -17,14 +17,12 @@ the DuckDB oracle checks.
 
 from __future__ import annotations
 
-import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-from .windows import EVENT_SCHEMA
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -84,28 +82,16 @@ def _update(key, pdfs, state: GroupState):
 def user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the events backlog through the stateful operator and return
     the per-user running totals emitted for the final batch."""
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    updated = stream.groupBy("user_id").applyInPandasWithState(
+    from .windows import drain_to_df, events_stream
+
+    updated = events_stream(spark, sf_dir).groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = "ustate_" + uuid.uuid4().hex[:10]
-    q = (
-        updated.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return drain_to_df(updated, output_mode="update")
 
 
 def user_running_stats_sql() -> str:

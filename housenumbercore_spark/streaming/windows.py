@@ -27,6 +27,38 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE events file-source stream (single definition — the three
+    streaming consumers must read the same input): typed schema, globbed to
+    the events.parquet file under ``sf_dir``."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def drain_to_df(writer_source: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming frame through an availableNow memory sink and
+    return the result PINNED (localCheckpoint) with the temp view dropped —
+    a leaked memory-sink table otherwise holds the full result set in
+    driver memory for the life of the session (bench/driver sweeps run
+    dozens of these on ONE SparkSession)."""
+    name = "drain_" + uuid.uuid4().hex[:10]
+    q = (
+        writer_source.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = writer_source.sparkSession
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def windowed_event_counts_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -35,11 +67,7 @@ def windowed_event_counts_stream(
 ) -> DataFrame:
     """Streaming plan (unstarted): per (hour window, event_type) counts and
     integer-cent value sums with a watermark for late data."""
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -60,18 +88,10 @@ def run_stream_to_completion(
     spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Drain the stream with trigger(availableNow) into a memory sink and
-    return the final result table."""
-    name = "win_" + uuid.uuid4().hex[:10]
-    q = (
+    return the final result (pinned; no memory-sink table left behind)."""
+    return drain_to_df(
         windowed_event_counts_stream(spark, sf_dir, window, watermark)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 def sessionize(
@@ -79,14 +99,9 @@ def sessionize(
 ) -> DataFrame:
     """Session windows per user (built-in session_window — gap-based), the
     streaming-native sessionization a training-data event pipeline needs."""
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    name = "sess_" + uuid.uuid4().hex[:10]
-    q = (
-        stream.withWatermark("ts", "2 hours")
+    return drain_to_df(
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -95,11 +110,4 @@ def sessionize(
             "user_id",
             "n_events",
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
-    return spark.table(name)

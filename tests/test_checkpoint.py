@@ -35,9 +35,9 @@ def test_crash_resume_no_recompute_and_identical_output(spark, tmp_path):
         CP.checkpointed_run(
             spark, _builder, KEYS, out, FP, max_concurrency=1, fail_on={2}
         )
-    assert CP.load_manifest(out, 0) is not None
-    assert CP.load_manifest(out, 1) is not None
-    assert CP.load_manifest(out, 2) is None  # data possibly written, not committed
+    assert CP.load_manifest(spark, out, 0) is not None
+    assert CP.load_manifest(spark, out, 1) is not None
+    assert CP.load_manifest(spark, out, 2) is None  # data possibly written, not committed
 
     mtimes_before = {
         k: os.path.getmtime(os.path.join(out, f"part={k}", CP.MANIFEST_NAME))
