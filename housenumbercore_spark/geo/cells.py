@@ -203,6 +203,34 @@ def morton_key(cell: np.ndarray) -> np.ndarray:
 # Spark column / SQL builders — the SAME arithmetic, JVM-side
 # ---------------------------------------------------------------------------
 
+def ix_col(lon: Column | str, res: int) -> Column:
+    """Clamped x grid index of a longitude column — THE index expression
+    (cell_col and the segment bbox cover both build on it; the grid keeps
+    exactly one definition, like pack_col for the id packing)."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    n = 1 << res
+    return F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))),
+            F.lit(0),
+        ),
+        F.lit(n - 1),
+    ).cast("long")
+
+
+def iy_col(lat: Column | str, res: int) -> Column:
+    """Clamped y grid index of a latitude column (see :func:`ix_col`)."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    n = 1 << res
+    return F.least(
+        F.greatest(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))),
+            F.lit(0),
+        ),
+        F.lit(n - 1),
+    ).cast("long")
+
+
 def cell_col(lon: Column | str, lat: Column | str, res: int) -> Column:
     """Cell id as a pure Catalyst column expression (whole-stage codegen).
 
@@ -210,22 +238,7 @@ def cell_col(lon: Column | str, lat: Column | str, res: int) -> Column:
     """
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
-    lon = F.col(lon) if isinstance(lon, str) else lon
-    lat = F.col(lat) if isinstance(lat, str) else lat
-    n = 1 << res
-    ix = F.least(
-        F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))), F.lit(0)),
-        F.lit(n - 1),
-    ).cast("long")
-    iy = F.least(
-        F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))), F.lit(0)),
-        F.lit(n - 1),
-    ).cast("long")
-    return (
-        F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
-        + ix * F.lit(1 << _IX_SHIFT).cast("long")
-        + iy
-    )
+    return pack_col(res, ix_col(lon, res), iy_col(lat, res))
 
 
 def pack_col(res: int, ix: Column, iy: Column) -> Column:

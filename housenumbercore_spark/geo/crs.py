@@ -103,7 +103,14 @@ def with_wgs84(df, x_col: str, y_col: str, srid_col: str):
             if pd.isna(s):
                 continue  # NULL srid → NULL lon/lat for those rows
             m = (srid == s).to_numpy()
-            lon[m], lat[m] = transform_to_wgs84(xv[m], yv[m], int(s))
+            try:
+                lon[m], lat[m] = transform_to_wgs84(xv[m], yv[m], int(s))
+            except ValueError:
+                # unmatched SRID → NULL lon/lat for those rows (the
+                # documented contract): one bad row among billions must
+                # quarantine itself, not kill the stage — same dirty-data
+                # policy as the multimodal transform seams
+                continue
         return pd.DataFrame({"lon": lon, "lat": lat})
 
     transform_udf = F.pandas_udf(_transform, "struct<lon:double,lat:double>")

@@ -60,6 +60,10 @@ def pick_join_res(areas: DataFrame, bbox_cols=("xmin", "ymin", "xmax", "ymax"),
         F.expr(f"percentile({ymax} - {ymin}, 0.5)").alias("h"),
         F.min(xmin).alias("x0"), F.min(ymin).alias("y0"),
     ).collect()[0]
+    if row.w is None:
+        # empty dimension: any res yields the (empty) join; the coarsest
+        # avoids building a pointless fine-grained fact-side cell column
+        return 0
     return C.pick_cover_res(
         row.x0, row.y0, row.x0 + max(row.w, 1e-9), row.y0 + max(row.h, 1e-9),
         max_cells=max_cells, finest=finest,
@@ -333,24 +337,14 @@ def seg_cover_cells_cols(
 ) -> DataFrame:
     """Explode each segment row to the grid cells covering its bbox —
     pure column arithmetic + two sequence-explodes, zero Python. Superset
-    cover: the exact refine downstream discards false candidates."""
-    n = 1 << res
-
-    def idx(v: F.Column, off: float, span: float) -> F.Column:
-        return (
-            F.least(
-                F.greatest(
-                    F.floor((v + F.lit(off)) / F.lit(span) * F.lit(float(n))),
-                    F.lit(0),
-                ),
-                F.lit(n - 1),
-            ).cast("long")
-        )
-
-    lo_x = idx(F.least(F.col(x0), F.col(x1)), 180.0, 360.0)
-    hi_x = idx(F.greatest(F.col(x0), F.col(x1)), 180.0, 360.0)
-    lo_y = idx(F.least(F.col(y0), F.col(y1)), 90.0, 180.0)
-    hi_y = idx(F.greatest(F.col(y0), F.col(y1)), 90.0, 180.0)
+    cover: the exact refine downstream discards false candidates. Index
+    arithmetic is the grid's single definition (cells.ix_col/iy_col), so
+    the cover can never drift from the point encodes it equi-joins
+    against."""
+    lo_x = C.ix_col(F.least(F.col(x0), F.col(x1)), res)
+    hi_x = C.ix_col(F.greatest(F.col(x0), F.col(x1)), res)
+    lo_y = C.iy_col(F.least(F.col(y0), F.col(y1)), res)
+    hi_y = C.iy_col(F.greatest(F.col(y0), F.col(y1)), res)
     d = df.withColumn("__gx", F.explode(F.sequence(lo_x, hi_x)))
     d = d.withColumn("__gy", F.explode(F.sequence(lo_y, hi_y)))
     cell = C.pack_col(res, F.col("__gx"), F.col("__gy"))
@@ -466,7 +460,24 @@ def salted_cell_join(
     and the dim side is replicated n_salt times, so one hot urban cell
     spreads over ``n_salt`` reducers. AQE skew-join handles residual skew.
     """
-    pts = points.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), n_salt))
+    # the salt must be DETERMINISTIC per row: monotonically_increasing_id
+    # depends on partition layout and row order, so a task retry or
+    # speculative re-execution after an upstream shuffle would re-salt rows
+    # differently and route them to reducers that already committed —
+    # silently dropping (or duplicating) join rows. Hash the row content
+    # instead (maps are unhashable in Spark and excluded; they never carry
+    # the identity anyway).
+    from pyspark.sql import types as T
+
+    hashable = [
+        f.name for f in points.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
+    salt = (
+        F.pmod(F.xxhash64(*hashable), F.lit(n_salt)).cast("long")
+        if hashable else F.lit(0).cast("long")
+    )
+    pts = points.withColumn("__salt", salt)
     # the dim's join column gets an internal name BEFORE the join: dropping
     # a column literally named 'cell' afterwards would also clobber a
     # points payload column of that name

@@ -369,8 +369,10 @@ WHERE street IS NULL OR trim(street) = ''
 
 
 def resume_pending_sql(startdate: int = 4) -> str:
+    from .sources.addresses import N_JOBS
+
     return f"""
-WITH jobs AS (SELECT CAST(range AS BIGINT) AS job_id FROM range(25)),
+WITH jobs AS (SELECT CAST(range AS BIGINT) AS job_id FROM range({N_JOBS})),
 results AS (
   SELECT job_id, job_id % 7 AS result_day FROM jobs WHERE job_id % 3 <> 1)
 SELECT job_id FROM jobs j
