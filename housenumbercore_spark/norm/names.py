@@ -61,31 +61,51 @@ def normalize_street_name(name: Column | str, country_code: Column | str) -> Col
     ).otherwise(name)
 
 
-def title_case_street(name: Column | str) -> Column:
+def title_case_street(
+    name: Column | str, country_code: Column | str | None = None
+) -> Column:
     """StreetToUpperLower parity (CsvReader.java:157-189).
 
     Only runs of uppercase letters are rewritten; per-word exception lists
-    force all-lower (particles) or all-upper ("II"). Pure column expression:
-    split on non-letter boundaries is wrong for this semantic (the reference
-    regex-replaces uppercase runs in place), so we transform the split-by-
-    space token stream, which matches for real street names.
+    force all-lower (particles) or all-upper ("II"). The reference
+    regex-replaces uppercase RUNS in place, so hyphen/period-joined tokens
+    ('VITTORIO-EMANUELE', 'S.MARIA') are rewritten run-by-run here: each
+    space token is sub-split at [-./,] separators (kept as their own
+    sub-tokens and rejoined verbatim) before the run test.
+
+    ``country_code``: the exception lists originate from the reference's
+    Italy CSV importer; pass the import's country column and the lists are
+    consulted only for 'IT' rows ('IN DER AU' in a German list then titles
+    to 'In Der Au', not 'in Der Au'). None (default) consults them for
+    every row — the historical behavior for single-country pipelines.
     """
     name = F.col(name) if isinstance(name, str) else name
     lower_lit = F.array(*[F.lit(w) for w in LOWERCASE_PARTICLES])
     upper_lit = F.array(*[F.lit(w) for w in UPPERCASE_WORDS])
+    if country_code is None:
+        lists_on = F.lit(True)
+    else:
+        cc = (
+            F.col(country_code)
+            if isinstance(country_code, str)
+            else country_code
+        )
+        lists_on = F.upper(cc).eqNullSafe("IT")
 
-    def fix_token(tok: Column) -> Column:
+    def fix_run(tok: Column) -> Column:
         # the exception lists apply ONLY to uppercase runs, like the
         # reference (it matches the run first, then consults the lists):
         # an already-mixed-case 'Della' or 'Am' must pass through untouched
         is_upper_run = tok.rlike(rf"^{_UPPER_RUN}$")
         return (
             F.when(
-                is_upper_run & F.array_contains(lower_lit, F.lower(tok)),
+                is_upper_run & lists_on
+                & F.array_contains(lower_lit, F.lower(tok)),
                 F.lower(tok),
             )
             .when(
-                is_upper_run & F.array_contains(upper_lit, F.upper(tok)),
+                is_upper_run & lists_on
+                & F.array_contains(upper_lit, F.upper(tok)),
                 F.upper(tok),
             )
             .when(
@@ -94,6 +114,12 @@ def title_case_street(name: Column | str) -> Column:
             )
             .otherwise(tok)
         )
+
+    def fix_token(tok: Column) -> Column:
+        # sub-split at separators with a sentinel so runs inside joined
+        # tokens are rewritten individually; separators rejoin verbatim
+        subs = F.split(F.regexp_replace(tok, r"([-./,])", "\x01$1\x01"), "\x01")
+        return F.array_join(F.transform(subs, fix_run), "")
 
     return F.array_join(F.transform(F.split(name, " "), fix_token), " ")
 
@@ -150,18 +176,39 @@ def boundary_name_variants(name: Column | str) -> Column:
 # hstore text ⇄ map helpers (reference parser: de/zalando/typemapper/postgres/
 # HStore.java:1-371; serialization HousenumberList.java:404-413)
 def hstore_to_map(col: Column | str) -> Column:
-    """Parse '"k"=>"v", ...' hstore text into a MapType column."""
+    """Parse '"k"=>"v", ...' hstore text into a MapType column.
+
+    Escape-aware like the reference parser (HStore.java): the structural
+    quotes are matched with a negative lookbehind so a backslash-escaped
+    quote INSIDE a value never splits a pair, and the backslash escapes
+    (\\" and \\\\) are unescaped after the split."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(c, r'"\s*=>\s*"', '\x02')
-    cleaned = F.regexp_replace(cleaned, r'"\s*,\s*"', "\x01")
-    cleaned = F.regexp_replace(cleaned, r'(^\s*")|("\s*$)', "")
-    return F.str_to_map(cleaned, F.lit("\x01"), F.lit("\x02"))
+    cleaned = F.regexp_replace(c, r'(?<!\\)"\s*=>\s*"', "\x02")
+    cleaned = F.regexp_replace(cleaned, r'(?<!\\)"\s*,\s*"', "\x01")
+    cleaned = F.regexp_replace(cleaned, r'(^\s*")|((?<!\\)"\s*$)', "")
+    m = F.str_to_map(cleaned, F.lit("\x01"), F.lit("\x02"))
+    unescape = lambda s: F.regexp_replace(s, r"\\(.)", "$1")  # noqa: E731
+    return F.map_from_arrays(
+        F.transform(F.map_keys(m), unescape),
+        F.transform(F.map_values(m), unescape),
+    )
 
 
 def map_to_hstore(col: Column | str) -> Column:
+    """Serialize a MapType to hstore text, escaping backslashes and quotes
+    (HousenumberList.java:404-413 writes through the same codec) so that
+    hstore_to_map(map_to_hstore(m)) round-trips any value."""
     c = F.col(col) if isinstance(col, str) else col
+
+    def esc(s: Column) -> Column:
+        return F.regexp_replace(
+            F.regexp_replace(s, r"\\", r"\\\\"), '"', '\\\\"'
+        )
+
     entries = F.transform(
         F.map_entries(c),
-        lambda e: F.concat(F.lit('"'), e["key"], F.lit('"=>"'), e["value"], F.lit('"')),
+        lambda e: F.concat(
+            F.lit('"'), esc(e["key"]), F.lit('"=>"'), esc(e["value"]), F.lit('"')
+        ),
     )
     return F.array_join(entries, ", ")

@@ -207,8 +207,11 @@ def ring_guarantee_m(
     n = 1 << res
     cw, ch = 360.0 / n, 180.0 / n
     lo, la = F.col(lon), F.col(lat)
-    ix = F.least(F.greatest(F.floor((lo + 180.0) / cw), F.lit(0)), F.lit(n - 1))
-    iy = F.least(F.greatest(F.floor((la + 90.0) / ch), F.lit(0)), F.lit(n - 1))
+    # grid indices come from THE single definition (cells.ix_col/iy_col) so
+    # this bound can never drift from the join's actual cell assignment;
+    # bit-identical to the former inline floor((lo+180)/cw) because n is a
+    # power of two (scaling by 2^r commutes with IEEE rounding)
+    ix, iy = C.ix_col(lo, res), C.iy_col(la, res)
     g_lon = F.least(lo - ((ix - k) * cw - 180.0), ((ix + 1 + k) * cw - 180.0) - lo)
     g_lat = F.least(la - ((iy - k) * ch - 90.0), ((iy + 1 + k) * ch - 90.0) - la)
     cos_m = F.cos(F.radians(F.abs(la) + g_lat / 2))

@@ -61,10 +61,14 @@ def streets_in_areas(
 
     if res is None:
         res = pick_join_res(areas)
-    # persist: the per-polygon Python cover computation feeds TWO broadcast
-    # builds (endpoint join + boundary-only crossing join); without the
-    # cache it would execute twice per call
-    dim = cover_cells(areas, res).persist()
+    # pin: the per-polygon Python cover computation feeds TWO broadcast
+    # builds (endpoint join + boundary-only crossing join); without pinning
+    # it would execute twice per call. localCheckpoint, NOT persist():
+    # DataFrame.persist registers in the CacheManager, which holds the
+    # cache until an explicit unpersist this API has no seam for —
+    # localCheckpoint blocks are freed by the ContextCleaner when the
+    # result is garbage collected
+    dim = cover_cells(areas, res).localCheckpoint()
     refine_cols = ["full", "ref_x", "ref_y", "ref_inside", "edges"]
 
     pts = streets.withColumn("__cell", C.cell_col("x0", "y0", res))

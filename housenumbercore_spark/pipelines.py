@@ -957,11 +957,12 @@ def title_case_streets(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     k = F.col("p_partkey")
     raw = (
-        F.when(k % 6 == 0, "VIA ROMA")
-        .when(k % 6 == 1, "strada del ponte")
-        .when(k % 6 == 2, "PIAZZA II GIUGNO")
-        .when(k % 6 == 3, "Am Markt")
-        .when(k % 6 == 4, "VIA DELLA LIBERTÀ")
+        F.when(k % 7 == 0, "VIA ROMA")
+        .when(k % 7 == 1, "strada del ponte")
+        .when(k % 7 == 2, "PIAZZA II GIUGNO")
+        .when(k % 7 == 3, "Am Markt")
+        .when(k % 7 == 4, "VIA DELLA LIBERTÀ")
+        .when(k % 7 == 5, "CORSO VITTORIO-EMANUELE")
         .otherwise("HAUPTSTRAßE")
     )
     d = p.select(k.alias("rec_id"), raw.alias("raw_name"))
@@ -975,24 +976,32 @@ def title_case_streets_sql() -> str:
     up = ", ".join(f"'{w}'" for w in UPPERCASE_WORDS)
     # exception lists gate on the token being an uppercase run, mirroring
     # norm/names.title_case_street (and the reference, which consults the
-    # lists only for matched uppercase runs)
-    run = f"regexp_matches(t, '^{_UPPER_RUN}$')"
+    # lists only for matched uppercase runs); each space token is sub-split
+    # at [-./,] separators so joined runs rewrite individually, in lockstep
+    # with the engine
+    run = f"regexp_matches(u, '^{_UPPER_RUN}$')"
     fix = (
-        f"CASE WHEN {run} AND lower(t) IN ({low}) THEN lower(t) "
-        f"WHEN {run} AND upper(t) IN ({up}) THEN upper(t) "
+        f"CASE WHEN {run} AND lower(u) IN ({low}) THEN lower(u) "
+        f"WHEN {run} AND upper(u) IN ({up}) THEN upper(u) "
         f"WHEN {run} "
-        f"THEN substr(t, 1, 1) || lower(substr(t, 2)) ELSE t END"
+        f"THEN substr(u, 1, 1) || lower(substr(u, 2)) ELSE u END"
+    )
+    tok = (
+        "array_to_string(list_transform(string_split("
+        "regexp_replace(t, '([-./,])', chr(1) || '\\1' || chr(1), 'g'), "
+        f"chr(1)), u -> {fix}), '')"
     )
     raw = (
-        "CASE p_partkey % 6 WHEN 0 THEN 'VIA ROMA' "
+        "CASE p_partkey % 7 WHEN 0 THEN 'VIA ROMA' "
         "WHEN 1 THEN 'strada del ponte' WHEN 2 THEN 'PIAZZA II GIUGNO' "
         "WHEN 3 THEN 'Am Markt' WHEN 4 THEN 'VIA DELLA LIBERTÀ' "
+        "WHEN 5 THEN 'CORSO VITTORIO-EMANUELE' "
         "ELSE 'HAUPTSTRAßE' END"
     )
     return f"""
 WITH d AS (SELECT p_partkey AS rec_id, {raw} AS raw_name FROM part)
 SELECT rec_id, raw_name,
-  array_to_string(list_transform(string_split(raw_name, ' '), t -> {fix}), ' ')
+  array_to_string(list_transform(string_split(raw_name, ' '), t -> {tok}), ' ')
     AS titled
 FROM d"""
 

@@ -176,8 +176,15 @@ def read_csv_addresses(
         out.append(c.alias(logical))
     if tags:
         pairs = []
+        seen: dict[str, int] = {}
         for i, tag in sorted(tags.items()):
-            pairs.extend([F.lit(tag), col_at(i)])
+            # duplicate unmatched header names must get distinct map keys:
+            # Spark's default mapKeyDedupPolicy=EXCEPTION fails the whole
+            # read on the first duplicated key otherwise (real-world CSV
+            # lists do repeat header names)
+            n = seen.get(tag, 0)
+            seen[tag] = n + 1
+            pairs.extend([F.lit(tag if n == 0 else f"{tag}_{n + 1}"), col_at(i)])
         extes = F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())
     else:
         extes = F.lit(None).cast("map<string,string>")

@@ -31,11 +31,24 @@ def josm_node_col(
     lat: Column,
     tags: list[tuple[str, Column]],
 ) -> Column:
-    """One JOSM XML node string per row."""
+    """One JOSM XML node string per row.
+
+    NULL tag values OMIT that tag (like the reference's printosm, which
+    only writes tags it has — Address.java:74-102); a bare F.concat would
+    instead NULL-propagate through the whole node string and silently drop
+    the address from the export. Rows with NULL id/lon/lat still yield
+    xml=NULL: a node without identity or position is unwritable, and the
+    caller decides whether that is a reject-row or an error.
+    """
     tag_parts = [
-        F.concat(
-            F.lit(f"<tag k='{k}' v='"), xml_escape(v.cast("string")), F.lit("'/>")
-        )
+        F.when(
+            v.isNotNull(),
+            F.concat(
+                F.lit(f"<tag k='{k}' v='"),
+                xml_escape(v.cast("string")),
+                F.lit("'/>"),
+            ),
+        ).otherwise(F.lit(""))
         for k, v in tags
     ]
     return F.concat(

@@ -198,14 +198,18 @@ def minhash_dedup_pairs(
     payloads move, and one hot LSH bucket must not drag every shingle set
     of its members across the wire. A shared band already guarantees
     MINHASH_ROWS agreeing components, so the bar only bites above that."""
-    # persist the two corpus-derived frames: sigs feeds THREE consumers
+    # pin the two corpus-derived frames: sigs feeds THREE consumers
     # (bands, a-side, b-side) and sh feeds two differently-keyed verify
     # joins — without the cache the dominant tokenize+shingle+md5 scan
     # re-executes once per consumer (ReuseExchange can't dedupe joins with
-    # different keys), ~3x the whole job's scan cost at the 10¹²-doc shape
-    # (dedup_clusters pins its pair lineage for the same reason)
-    sh = with_shingle_hashes(docs, k).select("doc_id", "shingles").persist()
-    sigs = minhash_signatures(docs, k).persist()
+    # different keys), ~3x the whole job's scan cost at the 10¹²-doc shape.
+    # localCheckpoint (like dedup_clusters), NOT persist(): DataFrame
+    # persist lives in the CacheManager until an explicit unpersist this
+    # API has no seam for, while checkpoint blocks are ContextCleaner-freed
+    # when the result is dropped (trade: block loss on executor failure
+    # recomputes the job rather than the lineage)
+    sh = with_shingle_hashes(docs, k).select("doc_id", "shingles").localCheckpoint()
+    sigs = minhash_signatures(docs, k).localCheckpoint()
     pairs = lsh_candidate_pairs(minhash_bands(sigs))
     siga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
     sigb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))

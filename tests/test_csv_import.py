@@ -109,3 +109,21 @@ def test_roundtrip_matches_oracle(spark):
             assert (got[c].values == want[c].values).all(), c
         else:
             assert (got[c].astype(object) == want[c].astype(object)).all(), c
+
+
+def test_duplicate_unmatched_headers_get_distinct_tag_keys(spark, tmp_path):
+    """Review regression: two unclaimed CSV columns with the SAME header
+    name must land under distinct extraosmtags keys — duplicate map keys
+    fail every action under Spark's default mapKeyDedupPolicy=EXCEPTION."""
+    from housenumbercore_spark.sources import csv_import as CI
+
+    p = tmp_path / "dup.csv"
+    p.write_text(
+        "strasse;hausnummer;note;note\nHauptweg;5;erste;zweite\n",
+        encoding="utf-8",
+    )
+    df = CI.read_csv_addresses(spark, str(p))
+    row = df.collect()[0]
+    assert row.street == "Hauptweg" and row.housenumber == "5"
+    assert row.extraosmtags["note"] == "erste"
+    assert row.extraosmtags["note_2"] == "zweite"

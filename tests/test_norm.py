@@ -133,3 +133,67 @@ class TestNames:
             .s
         )
         assert '"name"=>"Aachen"' in back
+
+
+class TestTitleCaseRuns:
+    """Review regressions: uppercase runs inside hyphen/period-joined
+    tokens rewrite individually, and the IT exception lists gate on the
+    import country when one is given."""
+
+    def test_hyphen_and_period_joined_runs(self, spark):
+        from housenumbercore_spark.norm import names as NM
+
+        df = spark.createDataFrame(
+            [("CORSO VITTORIO-EMANUELE",), ("S.MARIA DEL CARMINE",),
+             ("VIA ROMA,",)],
+            "raw string",
+        )
+        got = [r.t for r in
+               df.select(NM.title_case_street("raw").alias("t")).collect()]
+        assert got == [
+            "Corso Vittorio-Emanuele",
+            "S.Maria del Carmine",  # 'S' is a 1-letter run -> kept; DEL folds
+            "Via Roma,",
+        ]
+
+    def test_country_gates_particle_lists(self, spark):
+        from housenumbercore_spark.norm import names as NM
+
+        df = spark.createDataFrame(
+            [("IN DER AU", "DE"), ("VIA DELLA LIBERTÀ", "IT")],
+            "raw string, cc string",
+        )
+        got = {
+            r.cc: r.t
+            for r in df.select(
+                "cc", NM.title_case_street("raw", "cc").alias("t")
+            ).collect()
+        }
+        # German list: 'IN' is NOT folded by the Italian particle list
+        assert got["DE"] == "In Der Au"
+        # ('LIBERTÀ' stays: À is outside _UPPER_CLASS, so it is not an
+        # uppercase run — same as the driver oracle's behavior)
+        assert got["IT"] == "Via della LIBERTÀ"
+
+
+class TestHstoreEscaping:
+    def test_roundtrip_quotes_and_backslashes(self, spark):
+        from housenumbercore_spark.norm import names as NM
+
+        df = spark.createDataFrame(
+            [({"note": 'a", "b', "path": "C:\\tmp", "plain": "x"},)],
+            "m map<string,string>",
+        )
+        out = df.select(
+            NM.hstore_to_map(NM.map_to_hstore("m")).alias("rt")
+        ).collect()[0].rt
+        assert out == {"note": 'a", "b', "path": "C:\\tmp", "plain": "x"}
+
+    def test_parse_escaped_value(self, spark):
+        from housenumbercore_spark.norm import names as NM
+
+        df = spark.createDataFrame(
+            [('"note"=>"a\\", \\"b", "k"=>"v"',)], "h string"
+        )
+        out = df.select(NM.hstore_to_map("h").alias("m")).collect()[0].m
+        assert out == {"note": 'a", "b', "k": "v"}

@@ -267,3 +267,20 @@ def test_street_merge_stats_beyond_generator_period(spark, tmp_path):
     con.close()
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_josm_export_omits_null_tags(spark):
+    """Review regression: a NULL tag value must omit that tag, not
+    NULL-propagate through the whole node string (silent export loss)."""
+    from housenumbercore_spark.sources import export as EX
+
+    df = spark.createDataFrame(
+        [(1, "Hauptweg", "5", None, 6.5, 50.5),
+         (2, "Ring", "7b", "52062", 6.6, 50.6)],
+        "source_id long, street string, housenumber string, "
+        "postcode string, lon double, lat double",
+    )
+    rows = {r.source_id: r.xml for r in EX.josm_export(df).collect()}
+    assert rows[1] is not None and "addr:postcode" not in rows[1]
+    assert "addr:street" in rows[1] and "addr:housenumber" in rows[1]
+    assert "addr:postcode" in rows[2]
