@@ -30,10 +30,28 @@ import zlib
 import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# same decompression-bomb budget as jpeg.MAX_DECODE_PIXELS: a hostile
+# header must raise a typed per-row failure before any unbounded allocation
+MAX_DECODE_PIXELS = 1 << 25
+
+
+def _bounded_decompress(data: bytes, expected: int) -> bytes:
+    """zlib.decompress capped at the size the validated header implies:
+    an unbounded decompress expands up to ~1032x (zlib bomb) and can OOM
+    the executor before any shape check runs."""
+    d = zlib.decompressobj()
+    out = d.decompress(data, expected)
+    if d.unconsumed_tail or len(d.decompress(b"", 1)) > 0:
+        raise ValueError(
+            f"compressed payload exceeds the {expected}-byte size its "
+            "header implies"
+        )
+    return out
+
+
 JPGQ_MAGIC = b"JPQ1"
 JPGQ_STEP = 4
-
-_CRC_TABLE = None
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -82,7 +100,13 @@ def decode_png(buf: bytes) -> np.ndarray:
             idat += data
         elif tag == b"IEND":
             break
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    if w is None or h is None:
+        raise ValueError("corrupt PNG: no IHDR")
+    if h * w > MAX_DECODE_PIXELS:
+        raise ValueError(f"PNG {w}x{h} exceeds MAX_DECODE_PIXELS")
+    raw = np.frombuffer(
+        _bounded_decompress(idat, h * (1 + w * 3)), dtype=np.uint8
+    ).reshape(h, 1 + w * 3)
     bpp = 3
     fts = raw[:, 0]
     if not fts.any():  # filter 0 everywhere (our encoder's output): zero-copy
@@ -135,7 +159,11 @@ def decode_jpgq(buf: bytes) -> np.ndarray:
     if buf[:4] != JPGQ_MAGIC:
         raise ValueError("not a JPGQ payload")
     w, h, c, step = struct.unpack_from(">IIBB", buf, 4)
-    q = np.frombuffer(zlib.decompress(buf[14:]), dtype=np.uint8).reshape(h, w, c)
+    if h * w > MAX_DECODE_PIXELS or c > 4:
+        raise ValueError(f"JPGQ {w}x{h}x{c} exceeds MAX_DECODE_PIXELS")
+    q = np.frombuffer(
+        _bounded_decompress(buf[14:], h * w * c), dtype=np.uint8
+    ).reshape(h, w, c)
     return np.clip(q.astype(np.int32) * step + step // 2, 0, 255).astype(np.uint8)
 
 

@@ -60,12 +60,29 @@ def exact_dedup(
     Canonical = MIN(id) per content group (deterministic keep-one). The
     aggregate is map-side partial (min + count), so each content group
     contributes one ~30-byte row per input partition to the shuffle.
+
+    NULL payloads (quarantine rows from upstream transform seams) are NOT
+    a content group: Spark's groupBy treats NULL keys as equal, so they
+    would collapse into one "duplicate" group and a downstream keep-one
+    would silently drop all but one distinct corrupt row. Each NULL-bytes
+    row passes through as its own singleton.
     """
-    keyed = df.select(F.col(id_col), *_content_key_cols(bytes_col))
-    return keyed.groupBy("__ck_a", "__ck_b", "__ck_len").agg(
-        F.min(id_col).alias("canonical_image_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-    ).select("canonical_image_id", "n_copies")
+    keyed = df.select(F.col(id_col), F.col(bytes_col).isNull().alias("__nul"),
+                      *_content_key_cols(bytes_col))
+    grouped = (
+        keyed.filter(~F.col("__nul"))
+        .groupBy("__ck_a", "__ck_b", "__ck_len")
+        .agg(
+            F.min(id_col).alias("canonical_image_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_image_id", "n_copies")
+    )
+    singletons = keyed.filter(F.col("__nul")).select(
+        F.col(id_col).alias("canonical_image_id"),
+        F.lit(1).cast("long").alias("n_copies"),
+    )
+    return grouped.unionByName(singletons)
 
 
 def caption_dedup(

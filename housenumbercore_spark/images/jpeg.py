@@ -65,7 +65,6 @@ def _zigzag_order() -> list[int]:
 
 
 ZIGZAG = np.array(_zigzag_order(), dtype=np.int64)  # raster index per zigzag pos
-UNZIGZAG = np.argsort(ZIGZAG)
 
 # Decompression-bomb guard (cf. PIL's MAX_IMAGE_PIXELS): a ~20-byte corrupt
 # or hostile SOF header must raise a typed per-row failure, not allocate
@@ -709,6 +708,11 @@ def _decode_to_coefficients(buf: bytes):
                     f"({MAX_DECODE_PIXELS}); raise jpeg.MAX_DECODE_PIXELS to "
                     "decode it"
                 )
+            if nc > 4:
+                # JFIF/Adobe streams carry 1-4 components; a hostile SOF
+                # with nc up to 255 would multiply the coefficient-array
+                # allocation ~64x past the h*w pixel guard above
+                raise ValueError(f"unsupported component count {nc}")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
@@ -718,6 +722,15 @@ def _decode_to_coefficients(buf: bytes):
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             max_h = max(c["h"] for c in comps)
             max_v = max(c["v"] for c in comps)
+            for c in comps:
+                if max_h % c["h"] or max_v % c["v"]:
+                    # spec-legal but replication upsampling needs integer
+                    # ratios; fail with a diagnosis instead of a shape
+                    # mismatch deep in _reconstruct
+                    raise ValueError(
+                        f"unsupported sampling ratio {c['h']}x{c['v']} vs "
+                        f"max {max_h}x{max_v} (non-integer upsampling)"
+                    )
             mcux = (w + 8 * max_h - 1) // (8 * max_h)
             mcuy = (h + 8 * max_v - 1) // (8 * max_v)
             coefs = [
@@ -811,7 +824,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         return _reconstruct(coefs, meta)
     except ValueError:
         raise
-    except (IndexError, KeyError, OverflowError, struct.error) as e:
+    except (IndexError, KeyError, OverflowError, struct.error,
+            MemoryError) as e:
+        # MemoryError: a hostile geometry that slipped a size guard must
+        # surface as the typed per-row failure, not kill the executor task
         raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") from e
 
 

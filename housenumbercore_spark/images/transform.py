@@ -148,18 +148,30 @@ def audio_features(df: DataFrame) -> DataFrame:
                 except Exception:
                     rows.append((aid, -1, -1, 0.0, 0.0, 0.0))
                     continue
-                x = samples.astype(np.float64) / 32768.0
-                zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
-                rows.append(
-                    (
-                        aid,
-                        rate,
-                        len(samples),
-                        len(samples) / rate,
-                        float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
-                        zc,
+                # the feature math is inside the quarantine seam too: a
+                # decodable header with rate=0 (ZeroDivisionError) or a
+                # rate past int32 (Arrow overflow) is dirty data, not a
+                # task-killing condition
+                try:
+                    if not 0 < rate <= 0x7FFFFFFF:
+                        raise ValueError(f"bad sample rate {rate}")
+                    x = samples.astype(np.float64) / 32768.0
+                    zc = (
+                        float(np.mean(np.abs(np.diff(np.signbit(x)))))
+                        if len(x) > 1 else 0.0
                     )
-                )
+                    rows.append(
+                        (
+                            aid,
+                            rate,
+                            len(samples),
+                            len(samples) / rate,
+                            float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+                            zc,
+                        )
+                    )
+                except Exception:
+                    rows.append((aid, -1, -1, 0.0, 0.0, 0.0))
             yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
 
     return df.select("audio_id", "bytes", "fmt").mapInPandas(gen, _AUDIO_SCHEMA)

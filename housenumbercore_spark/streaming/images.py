@@ -131,8 +131,32 @@ def run_image_gate(
     subdirectory, so a crash after the write but before the streaming
     commit replays the batch into the same directory instead of
     duplicating rows (a plain append sink would double them). Readers see
-    the batch id as a partition column. Returns counts."""
+    the batch id as a partition column. Returns counts.
+
+    ``out_dir`` and ``checkpoint_dir`` are ONE unit: a fresh checkpoint
+    restarts batch ids at 0, so reusing a previous run's out_dir with a
+    NEW checkpoint would overwrite/delete its same-numbered batch dirs
+    while higher-numbered stale dirs still count into the returned totals
+    — a meaningless blend of two lineages, with some old data destroyed.
+    The out_dir is therefore stamped with its checkpoint's path
+    (``_GATE_LINEAGE``, invisible to parquet readers): crash replays reuse
+    the same checkpoint and pass; a different checkpoint against a stamped
+    out_dir is refused up front."""
     from ..sources.sinks import _hadoop_fs
+    from ..sources.snapshots import _read_text, _write_text_atomic
+
+    jvm, fs, _ = _hadoop_fs(spark, out_dir)
+    marker = f"{out_dir}/_GATE_LINEAGE"
+    stamped = _read_text(fs, jvm, jvm.org.apache.hadoop.fs.Path(marker))
+    if stamped is not None and stamped != checkpoint_dir:
+        raise ValueError(
+            f"run_image_gate: {out_dir} was written by the gate run "
+            f"checkpointed at {stamped!r}, but this run checkpoints at "
+            f"{checkpoint_dir!r} — batch ids would restart and corrupt the "
+            "old lineage; clear the out_dir together with the checkpoint"
+        )
+    if stamped is None:
+        _write_text_atomic(spark, marker, checkpoint_dir)
 
     gated = image_stream(spark, src_dir)
 

@@ -139,3 +139,18 @@ def test_driver_query_matches_oracle(spark, name):
         a, b = got[c], want[c]
         ok = (a.isna() & b.isna()) | (a.astype(object) == b.astype(object))
         assert ok.all(), f"{name}.{c}"
+
+
+def test_exact_dedup_null_payloads_are_singletons(spark):
+    """Review regression: NULL payloads (quarantine rows) must not collapse
+    into one 'duplicate' content group under groupBy's NULL-keys-equal."""
+    from housenumbercore_spark.images import dedup as D
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"xx")), ("b", bytearray(b"xx")),
+         ("q1", None), ("q2", None)],
+        "image_id string, bytes binary",
+    )
+    got = {r.canonical_image_id: r.n_copies for r in D.exact_dedup(df).collect()}
+    assert got["a"] == 2          # real byte-identical pair
+    assert got["q1"] == 1 and got["q2"] == 1  # each NULL row its own group

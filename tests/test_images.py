@@ -802,3 +802,33 @@ class TestDigestReviewRegressions:
     def test_split_keep_cols_collision_raises(self, spark, images):
         with pytest.raises(ValueError, match="collide"):
             IU.check_invariants_split(images, images, keep_cols=("__sid",))
+
+
+class TestAudioRateQuarantine:
+    def test_zero_and_overflow_rates_quarantine(self, spark):
+        """Review regression: a decodable AUD1 header with rate=0
+        (ZeroDivisionError) or rate>int32 (Arrow overflow) is dirty data —
+        it must yield a quarantine row, not kill the task."""
+        import struct
+        import zlib
+
+        from housenumbercore_spark.images import transform as TR
+
+        def aud(rate):
+            return bytearray(
+                b"AUD1" + struct.pack(">I", rate)
+                + zlib.compress(struct.pack(">4h", 1, 2, 3, 4))
+            )
+
+        ok_buf = codec.encode_pcm(
+            np.array([100, -100, 50], dtype=np.int16), 16000
+        )
+        df = spark.createDataFrame(
+            [("z", aud(0), "pcm"), ("big", aud(0xFFFFFFFF), "pcm"),
+             ("ok", bytearray(ok_buf), "pcm")],
+            "audio_id string, bytes binary, fmt string",
+        )
+        out = {r.audio_id: r for r in TR.audio_features(df).collect()}
+        assert out["z"].n_samples == -1 and out["z"].sample_rate == -1
+        assert out["big"].n_samples == -1
+        assert out["ok"].n_samples > 0 and out["ok"].sample_rate > 0

@@ -283,3 +283,80 @@ class TestRegistrySwap:
             codec._ENCODERS.clear()
             codec._ENCODERS.update(saved_enc)
             codec._DECODERS[:] = saved_dec
+
+
+class TestBombGuards:
+    """Review regressions: hostile geometry must raise typed ValueError
+    before any unbounded allocation."""
+
+    def test_many_component_sof_rejected(self):
+        import struct
+
+        from housenumbercore_spark.images import jpeg as J
+
+        nc = 255
+        sof = struct.pack(">BHHB", 8, 5792, 5792, nc) + b"".join(
+            struct.pack("BBB", i, 0x11, 0) for i in range(nc)
+        )
+        buf = (
+            b"\xff\xd8"
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="component count"):
+            J.decode_jpeg(buf)
+
+    def test_non_integer_sampling_ratio_rejected(self):
+        import struct
+
+        from housenumbercore_spark.images import jpeg as J
+
+        # 3x1 luma vs 2x1 chroma: spec-legal, but replication upsampling
+        # needs integer ratios — must fail with a diagnosis at SOF parse
+        sof = struct.pack(">BHHB", 8, 16, 16, 2) + bytes([1, 0x31, 0, 2, 0x21, 0])
+        buf = (
+            b"\xff\xd8"
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="sampling ratio"):
+            J.decode_jpeg(buf)
+
+    def test_png_zlib_bomb_rejected(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from housenumbercore_spark.images import codec as C
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        idat = zlib.compress(b"\x00" * 10_000_000)  # claims 2x2, holds 10MB
+        bomb = (
+            C.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="exceeds"):
+            C.decode_png(bomb)
+        # clean round-trip still works through the bounded path
+        px = np.zeros((4, 4, 3), np.uint8)
+        assert C.decode_png(C.encode_png(px)).shape == (4, 4, 3)
+
+    def test_jpgq_zlib_bomb_rejected(self):
+        import struct
+        import zlib
+
+        from housenumbercore_spark.images import codec as C
+
+        bomb = (
+            C.JPGQ_MAGIC + struct.pack(">IIBB", 2, 2, 3, 4)
+            + zlib.compress(b"\x00" * 10_000_000)
+        )
+        with pytest.raises(ValueError, match="exceeds"):
+            C.decode_jpgq(bomb)

@@ -177,3 +177,21 @@ def test_snapshot_sink_empty_source(spark, tmp_path):
         spark, src, str(tmp_path / "tbl"), str(tmp_path / "ckpt")
     )
     assert res == {"accepted_total": 0, "rejected_total": 0}
+
+
+def test_new_checkpoint_refuses_stamped_out_dir(spark, tmp_path):
+    """Review regression: a reset/different checkpoint restarts batch ids
+    at 0, so reusing a stamped out_dir would mix two lineages — refused up
+    front; the SAME checkpoint (crash replay / incremental rerun) passes."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt1 = str(tmp_path / "ckpt1")
+    SI.make_gate_source(spark, src, 0, 6, corrupt_every=3)
+    SI.run_image_gate(spark, src, out, ckpt1)
+    with pytest.raises(ValueError, match="lineage"):
+        SI.run_image_gate(spark, src, out, str(tmp_path / "ckpt2"))
+    # same checkpoint again: legitimate (nothing new to process) — no error
+    res = SI.run_image_gate(spark, src, out, ckpt1)
+    assert res["accepted_total"] + res["rejected_total"] == 6
