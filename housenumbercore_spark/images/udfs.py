@@ -35,7 +35,7 @@ _SCHEMA = T.StructType(
 # shadow any of them (single source of truth for BOTH entry points)
 _GATE_RESERVED = frozenset({
     "image_id", "psnr_db", "pixels_ok", "caption_ok",
-    "__ob", "__oc", "__sb", "__sc", "__sid",
+    "__ob", "__oc", "__sb", "__sc", "__sid", "__sp",
     "__sh1", "__sh2", "__scrc", "__slen",
 })
 
@@ -126,6 +126,9 @@ def check_invariants(
         F.col(id_col).alias("__sid"),
         F.col(bytes_col).alias("__sb"),
         F.col(caption_col).alias("__sc"),
+        F.lit(True).alias("__sp"),  # source-present flag: a join-miss row
+        # has NO source caption, so NULL output caption must still be a
+        # violation (Python None == None would read as a match)
     )
     if broadcast_src:
         s = F.broadcast(s)
@@ -187,7 +190,14 @@ def _decode_diff(diff: DataFrame, keep_cols: tuple[str, ...]) -> DataFrame:
                     p = 0.0
                 psnr_v[i] = min(p, 999.0)
                 pix_ok[i] = p >= PSNR_MIN_DB
-                cap_ok[i] = pdf["__oc"].iat[i] == pdf["__sc"].iat[i]
+                # a join-miss row (no source) is ALWAYS a caption
+                # violation, even when both captions are NULL. The flag
+                # arrives as numpy bool_ (or None/NaN for misses), so
+                # compare by value — `is True` fails for np.True_.
+                sp = pdf["__sp"].iat[i]
+                cap_ok[i] = bool(pd.notna(sp) and sp) and (
+                    pdf["__oc"].iat[i] == pdf["__sc"].iat[i]
+                )
             cols = {
                 "image_id": pdf["image_id"],
                 "psnr_db": psnr_v,
@@ -252,6 +262,7 @@ def _digest_gate_split(
         crc.alias("__scrc"),
         ln.alias("__slen"),
         F.col(caption_col).alias("__sc"),
+        F.lit(True).alias("__sp"),
     )
     if broadcast_src:
         s = F.broadcast(s)
@@ -356,10 +367,13 @@ def check_invariants_split(
     )
 
 
-def invariant_summary(check_df: DataFrame) -> DataFrame:
-    """Aggregate gate: (n_rows, n_pixel_violations, n_caption_violations,
-    min_psnr_db)."""
-    return check_df.agg(
+def _violation_aggs() -> list:
+    """The shared (n_rows, n_pixel_violations, n_caption_violations)
+    aggregate columns of both summary views — one definition so the
+    diagnostic and driver-gate summaries can never silently disagree.
+    coalesce: over ZERO rows sum is NULL — an empty check must read as
+    "no violations", not NULL comparisons."""
+    return [
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(
             F.sum(F.when(~F.col("pixels_ok"), 1).otherwise(0)), F.lit(0)
@@ -367,6 +381,14 @@ def invariant_summary(check_df: DataFrame) -> DataFrame:
         F.coalesce(
             F.sum(F.when(~F.col("caption_ok"), 1).otherwise(0)), F.lit(0)
         ).alias("n_caption_violations"),
+    ]
+
+
+def invariant_summary(check_df: DataFrame) -> DataFrame:
+    """Aggregate gate: (n_rows, n_pixel_violations, n_caption_violations,
+    min_psnr_db)."""
+    return check_df.agg(
+        *_violation_aggs(),
         F.min("psnr_db").alias("min_psnr_db"),
     )
 
@@ -381,16 +403,9 @@ def invariant_gate_summary(check_df: DataFrame) -> DataFrame:
     join, violations must be zero, and the PSNR floor collapses to a
     boolean (≥ :data:`PSNR_MIN_DB`). The engine still computes all of them
     from real decoded pixels — the oracle predicts, Spark verifies."""
-    # coalesce: over ZERO rows sum/min are NULL — an empty check must
-    # read as "no violations, gate vacuously ok", not NULL comparisons
     return check_df.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(
-            F.sum(F.when(~F.col("pixels_ok"), 1).otherwise(0)), F.lit(0)
-        ).alias("n_pixel_violations"),
-        F.coalesce(
-            F.sum(F.when(~F.col("caption_ok"), 1).otherwise(0)), F.lit(0)
-        ).alias("n_caption_violations"),
+        *_violation_aggs(),
+        # coalesce: min over ZERO rows is NULL — vacuously ok, not NULL
         F.coalesce(
             F.min("psnr_db") >= F.lit(PSNR_MIN_DB), F.lit(True)
         ).alias("psnr_gate_ok"),
@@ -444,37 +459,50 @@ def decode_check(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 def decode_stats(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Decode payloads and emit per-row pixel stats — the 'feature extract'
     stage of a multimodal training pipeline (mean/std per channel + recomputed
-    phash). Arrow-batched; the pattern to extend with real feature models."""
+    phash). Arrow-batched; the pattern to extend with real feature models.
+
+    Per-row failure seam (same policy as decode_check and the multimodal
+    transforms): a corrupt, NULL, or non-RGB payload among billions yields
+    a flagged row (decode_ok=False, NaN stats, phash -1) instead of
+    killing the task."""
     schema = T.StructType(
         [
             T.StructField("image_id", T.StringType(), False),
-            T.StructField("mean_r", T.DoubleType(), False),
-            T.StructField("mean_g", T.DoubleType(), False),
-            T.StructField("mean_b", T.DoubleType(), False),
-            T.StructField("std_gray", T.DoubleType(), False),
-            T.StructField("phash_recomputed", T.LongType(), False),
+            T.StructField("decode_ok", T.BooleanType(), False),
+            T.StructField("mean_r", T.DoubleType(), True),
+            T.StructField("mean_g", T.DoubleType(), True),
+            T.StructField("mean_b", T.DoubleType(), True),
+            T.StructField("std_gray", T.DoubleType(), True),
+            T.StructField("phash_recomputed", T.LongType(), True),
         ]
     )
     src = df.select("image_id", F.col(bytes_col).alias("__b"))
     snap = codec.registry_snapshot()
+    nan = float("nan")
 
     def gen(batches):
         codec.install_registry(snap)
         for pdf in batches:
             rows = []
             for iid, buf in zip(pdf["image_id"], pdf["__b"]):
-                px = codec.decode_image(bytes(buf)).astype(np.float64)
-                gray = px @ np.array([0.299, 0.587, 0.114])
-                rows.append(
-                    (
-                        iid,
-                        float(px[..., 0].mean()),
-                        float(px[..., 1].mean()),
-                        float(px[..., 2].mean()),
-                        float(gray.std()),
-                        codec.phash64(px.astype(np.uint8)),
+                try:
+                    px = codec.decode_image(bytes(buf)).astype(np.float64)
+                    if px.ndim != 3 or px.shape[2] != 3:
+                        raise ValueError(f"non-RGB shape {px.shape}")
+                    gray = px @ np.array([0.299, 0.587, 0.114])
+                    rows.append(
+                        (
+                            iid,
+                            True,
+                            float(px[..., 0].mean()),
+                            float(px[..., 1].mean()),
+                            float(px[..., 2].mean()),
+                            float(gray.std()),
+                            codec.phash64(px.astype(np.uint8)),
+                        )
                     )
-                )
+                except Exception:
+                    rows.append((iid, False, nan, nan, nan, nan, -1))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return src.mapInPandas(gen, schema)

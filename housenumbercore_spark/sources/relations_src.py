@@ -21,7 +21,7 @@ def relations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("s_suppkey")
     members = F.expr(
         f"transform(sequence(0, {N_MEMBERS - 1}), "
-        "i -> cast((s_suppkey * 3 + i) * 10 + (i % 7) + 1 as bigint))"
+        "i -> cast((s_suppkey * 3 + i) * 10 + i + 1 as bigint))"
     )
     return s.select(
         k.cast("long").alias("rel_id"),
@@ -33,7 +33,7 @@ def relations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def relations_sql() -> str:
     members = (
         f"list_transform(generate_series(0, {N_MEMBERS - 1}), "
-        "i -> CAST((s_suppkey * 3 + i) * 10 + (i % 7) + 1 AS BIGINT))"
+        "i -> CAST((s_suppkey * 3 + i) * 10 + i + 1 AS BIGINT))"
     )
     return (
         f"(SELECT CAST(s_suppkey AS BIGINT) AS rel_id, "

@@ -131,19 +131,30 @@ def box_wkb_udf():
 
 
 def areas_sql() -> str:
-    """DuckDB subquery for the identical areas (arithmetic columns only)."""
+    """DuckDB subquery for the identical areas (arithmetic columns only).
+
+    Every float literal is CAST to DOUBLE: a bare ``0.32`` parses as
+    DECIMAL in DuckDB and the whole expression then evaluates in EXACT
+    decimal arithmetic, diverging from Spark's float64 by 1 ulp on 10 of
+    the 30 xmax/ymax bounds (e.g. DECIMAL 6.64 vs float64
+    6.640000000000001) — a point whose lon lands in that window would be
+    inside for one engine and outside for the other. The casts force the
+    same left-associated float64 operations Spark performs."""
+    def D(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
     muni = (
         f"SELECT n_nationkey + 100 AS area_id, n_name AS name, 8 AS admin_level, "
-        f"{LON0!r} + (n_nationkey % {GRID}) * {CELL_W!r} AS xmin, "
-        f"{LAT0!r} + FLOOR(n_nationkey / {GRID}) * {CELL_H!r} AS ymin, "
-        f"{LON0!r} + (n_nationkey % {GRID}) * {CELL_W!r} + {CELL_W!r} AS xmax, "
-        f"{LAT0!r} + FLOOR(n_nationkey / {GRID}) * {CELL_H!r} + {CELL_H!r} AS ymax "
+        f"{D(LON0)} + (n_nationkey % {GRID}) * {D(CELL_W)} AS xmin, "
+        f"{D(LAT0)} + FLOOR(n_nationkey / {GRID}) * {D(CELL_H)} AS ymin, "
+        f"{D(LON0)} + (n_nationkey % {GRID}) * {D(CELL_W)} + {D(CELL_W)} AS xmax, "
+        f"{D(LAT0)} + FLOOR(n_nationkey / {GRID}) * {D(CELL_H)} + {D(CELL_H)} AS ymax "
         f"FROM nation"
     )
     dist = (
         f"SELECT r_regionkey + 10 AS area_id, r_name AS name, 6 AS admin_level, "
-        f"{LON0!r} AS xmin, {LAT0!r} + r_regionkey * {CELL_H!r} AS ymin, "
-        f"{LON0 + LON_SPAN!r} AS xmax, "
-        f"{LAT0!r} + (r_regionkey + 1) * {CELL_H!r} AS ymax FROM region"
+        f"{D(LON0)} AS xmin, {D(LAT0)} + r_regionkey * {D(CELL_H)} AS ymin, "
+        f"{D(LON0 + LON_SPAN)} AS xmax, "
+        f"{D(LAT0)} + (r_regionkey + 1) * {D(CELL_H)} AS ymax FROM region"
     )
     return f"(({muni}) UNION ALL ({dist}))"

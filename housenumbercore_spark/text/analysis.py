@@ -25,8 +25,10 @@ LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("zh", ("的", "是", "在", "了", "我", "不", "人")),
 )
 
-# English stopword list reused by the quality score.
-QUALITY_STOPWORDS = LANG_PROFILES[1][1]
+# English stopword list reused by the quality score (looked up by code,
+# not position: inserting a profile that sorts before 'en' must not
+# silently swap the quality gate to another language's markers).
+QUALITY_STOPWORDS = dict(LANG_PROFILES)["en"]
 
 
 def tokens_col(text_col: str = "text") -> Column:
@@ -55,10 +57,15 @@ def token_stats(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.size("toks").alias("n_tokens"),
             F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
-            F.round(
-                F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
-                / F.size("toks"),
-                6,
+            # NULL for zero-token docs (ANSI division by zero would
+            # otherwise kill the job on a whitespace-only document)
+            F.when(
+                F.size("toks") > 0,
+                F.round(
+                    F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+                    / F.size("toks"),
+                    6,
+                ),
             ).alias("mean_token_len"),
         )
     )
@@ -83,15 +90,15 @@ def quality_score(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame
     # engines; float sums land on round() boundaries nondeterministically
     quality_u = F.expr(
         "1000 * least(__n, 400)"
-        " + (300000 * (__n - __s)) DIV __n"
-        " + least((37500 * __sl) DIV __n, 300000)"
+        " + (300000 * (__n - __s)) DIV greatest(__n, 1L)"
+        " + least((37500 * __sl) DIV greatest(__n, 1L), 300000)"
     )
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.col("__n").cast("int").alias("n_tokens"),
-        (F.expr("(1000000 * __s) DIV __n") / 1e6).alias("stopword_ratio"),
-        (F.expr("(1000000 * __sl) DIV __n") / 1e6).alias("mean_token_len"),
+        (F.expr("(1000000 * __s) DIV greatest(__n, 1L)") / 1e6).alias("stopword_ratio"),
+        (F.expr("(1000000 * __sl) DIV greatest(__n, 1L)") / 1e6).alias("mean_token_len"),
         (quality_u / 1e6).alias("quality"),
         *keep_cols,
     )

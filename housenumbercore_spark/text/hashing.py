@@ -44,8 +44,15 @@ def h60_duck(expr: str) -> str:
 
 
 def tokens_spark(expr: str = "text") -> str:
-    return f"split(trim({expr}), '\\\\s+')"
+    # filter(...): Java split keeps a leading empty field, so whitespace-only
+    # text would count 1 phantom token and '\tword' would count 2 (trim
+    # strips only spaces) — systematically skewing every token statistic
+    # and budget. The DuckDB twin applies the identical filter.
+    return f"filter(split(trim({expr}), '\\\\s+'), x -> x != '')"
 
 
 def tokens_duck(expr: str = "text") -> str:
-    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+    return (
+        f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), "
+        "x -> x != '')"
+    )

@@ -50,8 +50,9 @@ def token_stats_sql() -> str:
 SELECT doc_id,
   CAST(len(toks) AS INT) AS n_tokens,
   CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens,
-  CAST(round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
-       / len(toks), 6) AS DOUBLE) AS mean_token_len
+  CAST(CASE WHEN len(toks) > 0 THEN
+       round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+             / len(toks), 6) END AS DOUBLE) AS mean_token_len
 FROM {_src()} d"""
 
 
@@ -63,15 +64,15 @@ def quality_sql() -> str:
     # mirror the engine's micropoint integer arithmetic (floor division)
     qu = (
         f"(1000 * least({n}, 400)"
-        f" + (300000 * ({n} - {s})) // {n}"
+        f" + (300000 * ({n} - {s})) // greatest({n}, 1)"
         f" + least((37500 * {sl}) // {n}, 300000))"
     )
     return f"""
 SELECT doc_id,
   CAST(length(text) AS INT) AS n_chars,
   CAST(len(toks) AS INT) AS n_tokens,
-  ((1000000 * {s}) // {n}) / 1e6 AS stopword_ratio,
-  ((1000000 * {sl}) // {n}) / 1e6 AS mean_token_len,
+  ((1000000 * {s}) // greatest({n}, 1)) / 1e6 AS stopword_ratio,
+  ((1000000 * {sl}) // greatest({n}, 1)) / 1e6 AS mean_token_len,
   {qu} / 1e6 AS quality
 FROM {_src()} d"""
 

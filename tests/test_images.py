@@ -228,6 +228,26 @@ class TestImagesTable:
         joined = stats.join(images.select("image_id", "phash"), "image_id")
         bad = joined.filter(F.col("phash") != F.col("phash_recomputed")).count()
         assert bad == 0
+        assert stats.filter(~F.col("decode_ok")).count() == 0
+
+    def test_decode_stats_quarantines_corrupt_rows(self, spark, images):
+        """Review regression: a corrupt or NULL payload yields a flagged
+        row (decode_ok=False) instead of killing the task."""
+        mutated = images.withColumn(
+            "bytes",
+            F.when(F.col("image_id") == "img0000000003", F.lit(None).cast("binary"))
+            .when(
+                F.col("image_id") == "img0000000004",
+                F.lit(bytearray(b"not-an-image")),
+            )
+            .otherwise(F.col("bytes")),
+        )
+        stats = {r.image_id: r for r in IU.decode_stats(mutated).collect()}
+        assert len(stats) == 300
+        for bad_id in ("img0000000003", "img0000000004"):
+            assert stats[bad_id].decode_ok is False
+            assert stats[bad_id].phash_recomputed == -1
+        assert stats["img0000000005"].decode_ok is True
 
 
 class TestMultimodalTransforms:
@@ -832,3 +852,22 @@ class TestAudioRateQuarantine:
         assert out["z"].n_samples == -1 and out["z"].sample_rate == -1
         assert out["big"].n_samples == -1
         assert out["ok"].n_samples > 0 and out["ok"].sample_rate > 0
+
+
+class TestCaptionMissViolation:
+    def test_null_caption_join_miss_is_violation(self, spark):
+        """Review regression: an output row whose id matches no source row
+        must be a caption violation EVEN IF its own caption is NULL
+        (Python None == None used to read as a match)."""
+        src = spark.createDataFrame(
+            [("a", bytearray(codec.encode_png(IMG.make_pixels(1))), "cap")],
+            "image_id string, bytes binary, caption string",
+        )
+        out = spark.createDataFrame(
+            [("ghost", bytearray(codec.encode_png(IMG.make_pixels(2))), None)],
+            "image_id string, bytes binary, caption string",
+        )
+        for gate in ("bytes", "digest"):
+            row = IU.check_invariants(out, src, gate=gate).collect()[0]
+            assert row.pixels_ok is False, gate
+            assert row.caption_ok is False, gate

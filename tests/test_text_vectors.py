@@ -715,3 +715,29 @@ def test_pack_sequences_zero_token_doc_avoids_flagged_singleton(spark):
     assert rows["empty"].pack_slot != -1
     # the zero-token doc can still share a NORMAL open pack
     assert rows["empty"].pack_id == rows["tiny"].pack_id
+
+
+def test_tokenization_drops_phantom_empty_tokens(spark):
+    """Review regression: whitespace-only text counts 0 tokens and leading
+    tab/newline no longer fabricates a '' token — Spark and DuckDB twins in
+    lockstep."""
+    import duckdb
+
+    from housenumbercore_spark.text import analysis as TA
+    from housenumbercore_spark.text.hashing import tokens_duck
+
+    df = spark.createDataFrame(
+        [("e", ""), ("w", "   "), ("t", "\tHello world"), ("n", "one")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.n_tokens for r in TA.token_stats(df).collect()}
+    assert got == {"e": 0, "w": 0, "t": 2, "n": 1}
+    con = duckdb.connect()
+    want = {
+        k: v for k, v in con.execute(
+            "SELECT doc_id, len(" + tokens_duck() + ") FROM (VALUES "
+            "('e',''),('w','   '),('t',chr(9)||'Hello world'),('n','one')"
+            ") t(doc_id, text)"
+        ).fetchall()
+    }
+    assert want == got
