@@ -96,10 +96,18 @@ def caption_dedup(
     ``caption_col`` may be an expression (pass a normalization such as
     ``F.regexp_replace("caption", r"^photo \\d+: ", "")`` to fold crawl-id
     boilerplate); the shuffle carries the normalized string + id only.
+
+    NULL captions are NOT a duplicate group: Spark's groupBy treats NULL
+    keys as equal, so uncaptioned images would otherwise collapse into one
+    group and a downstream keep-one would silently drop all but one of
+    them — the same hazard :func:`exact_dedup` routes NULL payloads
+    around. They are excluded here (this function returns only groups of
+    >= 2, so "each NULL is its own non-group" means absence).
     """
     c = F.col(caption_col) if isinstance(caption_col, str) else caption_col
     return (
         df.select(F.col(id_col), c.alias("caption_norm"))
+        .filter(F.col("caption_norm").isNotNull())
         .groupBy("caption_norm")
         .agg(
             F.min(id_col).alias("canonical_image_id"),

@@ -733,6 +733,24 @@ def _decode_to_coefficients(buf: bytes):
                     )
             mcux = (w + 8 * max_h - 1) // (8 * max_h)
             mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+            # the h*w guard above caps the FRAME, not the allocation: each
+            # component allocates its own padded coefficient plane (int64)
+            # plus ~the same again in float64 reconstruct temporaries, so
+            # a 4-component max-size hostile SOF would still drive ~2 GB
+            # of transient allocations — enough to OOM-kill the executor
+            # Python worker before the MemoryError catch can fire. Budget
+            # the TOTAL padded component cells at the documented worst
+            # case (3 full-resolution components at the pixel cap).
+            total_cells = sum(
+                mcuy * c["v"] * mcux * c["h"] * 64 for c in comps
+            )
+            if total_cells > 3 * MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"frame {w}x{h}x{nc} needs {total_cells} coefficient "
+                    f"cells, over the {3 * MAX_DECODE_PIXELS} budget "
+                    "(3 full-res components at MAX_DECODE_PIXELS); raise "
+                    "jpeg.MAX_DECODE_PIXELS to decode it"
+                )
             coefs = [
                 np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
                 for c in comps

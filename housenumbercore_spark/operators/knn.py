@@ -247,13 +247,18 @@ def knn_nearest_multires(
     between a 10⁶-candidate round and a 10¹⁴-row cross join at the 10¹²
     target shape.
 
-    Materialization contract: exactly ONE job per non-final round — the
+    Materialization contract: one checkpoint job per non-final round — the
     round's ranked+flag rows are localCheckpointed (lineage truncated), the
     accepted subset and the next round's anti-join both read those stored
     blocks, and the blocks are freed by RDD GC when the returned plan drops
-    its references. No explicit cache pinning, no per-round count()
-    barriers (round 1's cache+count+anti-join structure serialized rounds
-    on the driver and pinned |points|×k rows per round for the whole job).
+    its references. No explicit cache pinning (round 1's cache+anti-join
+    structure pinned |points|×k rows per round for the whole job). After
+    each checkpoint a narrow count over the stored flag blocks decides
+    ROUND COLLAPSE: when the ring bound already proved every point's
+    neighbor, the remaining coarser rounds are skipped entirely — each
+    would otherwise re-scan the points for the anti-join and run a full
+    (empty) ring join. The count is a cheap driver barrier on blocks the
+    eager checkpoint materialized anyway; it does not re-execute lineage.
     On a multi-executor cluster prefer ``df.checkpoint()`` to reliable
     storage if executor loss must not restart the job."""
     cores = points.sparkSession.sparkContext.defaultParallelism
@@ -289,6 +294,12 @@ def knn_nearest_multires(
                 )
                 drop_cols = ["__worst", "__cnt", "__sure"]
             accepted = flags.filter(F.col("__sure")).drop(*drop_cols)
+            out = accepted if out is None else out.unionByName(accepted)
+            # __sure is constant across a point's rows (scalar projection
+            # at n=1; a per-partition window at n>1), so zero unsure ROWS
+            # means zero unsure points → the remaining rounds are no-ops
+            if flags.filter(~F.col("__sure")).count() == 0:
+                return out
             remaining = remaining.join(
                 flags.filter(F.col("__sure")).select(point_id).dropDuplicates(),
                 point_id,
@@ -296,5 +307,5 @@ def knn_nearest_multires(
             )
         else:
             accepted = ranked
-        out = accepted if out is None else out.unionByName(accepted)
+            out = accepted if out is None else out.unionByName(accepted)
     return out

@@ -65,17 +65,34 @@ def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ME.best_osm_object(osm)
 
 
+# one pinned match frame per (Spark application, sf_dir): the counters
+# query (A4) consumes the exact frame the match query (J5/J6) returns, and
+# recomputing the full-outer match join per consumer doubled the pair's
+# cost (round-4 verdict item 4). Keyed by applicationId (timestamp-unique
+# per context, so entries from a stopped session can never be hit) over
+# immutable driver testdata; the pin is a localCheckpoint, whose blocks
+# the ContextCleaner frees with the entry. Bounded: one small frame
+# (~55k narrow rows at sf0.1) per sf_dir touched in a session.
+_MATCHED_PIN: dict[tuple[str, str], DataFrame] = {}
+
+
 def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The match evaluation (J5/J6): one row per housenumber identity."""
-    off = official_normalized(spark, sf_dir).select(
-        "job_id", "street", "hnr_key", "source_id"
-    )
-    osm = osm_best_objects(spark, sf_dir).select(
-        "job_id", "street", "hnr_key", "osm_id", "prio"
-    )
-    return ME.match_evaluation(off, osm).select(
-        "job_id", "street", "hnr_key", "treffertyp", "source_id", "osm_id", "prio"
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pinned = _MATCHED_PIN.get(key)
+    if pinned is None:
+        off = official_normalized(spark, sf_dir).select(
+            "job_id", "street", "hnr_key", "source_id"
+        )
+        osm = osm_best_objects(spark, sf_dir).select(
+            "job_id", "street", "hnr_key", "osm_id", "prio"
+        )
+        pinned = ME.match_evaluation(off, osm).select(
+            "job_id", "street", "hnr_key", "treffertyp",
+            "source_id", "osm_id", "prio",
+        ).localCheckpoint()
+        _MATCHED_PIN[key] = pinned
+    return pinned
 
 
 def evaluation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

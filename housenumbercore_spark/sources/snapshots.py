@@ -80,20 +80,74 @@ def _write_tmp(spark: SparkSession, path: str, text: str):
     return jvm, fs, jpath, tmp
 
 
+def _claim_exclusive(jvm, fs, path: str) -> bool:
+    """Atomically create the claim file ``path``; True iff we created it.
+
+    The claim is the commit's linearization point, so it must be a REAL
+    atomic create-exclusive, not exists()+create (TOCTOU): on a local
+    filesystem Hadoop's rename overwrites and its createNewFile is
+    exists-then-create, so use ``java.io.File.createNewFile`` —
+    open(O_CREAT|O_EXCL) under the hood; elsewhere ``fs.create(path,
+    overwrite=false)`` is atomic at the metadata service (HDFS NameNode,
+    ABFS/GCS preconditions). S3A's create is NOT atomic — like Iceberg,
+    concurrent committers on raw S3 need an external lock/catalog; the
+    manifest content read-back in :func:`_write_text_new` still detects
+    (not prevents) a lost race there."""
+    jclaim = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.getUri().getScheme() in (None, "file"):
+        local = jclaim.toUri().getPath()
+        return jvm.java.io.File(local).createNewFile()
+    try:
+        fs.create(jclaim, False).close()
+        return True
+    except Exception:  # FileAlreadyExistsException (py4j-wrapped)
+        return False
+
+
 def _write_text_new(spark: SparkSession, path: str, text: str) -> None:
-    """Create ``path`` EXCLUSIVELY (tmp + rename-without-overwrite): used
-    for manifests, which are immutable once written — a second writer
-    racing for the same version number must fail here WITHOUT touching the
-    winner's committed manifest (clobbering it would silently replace a
-    committed snapshot's contents)."""
+    """Create ``path`` EXCLUSIVELY: used for manifests, which are immutable
+    once written — a second writer racing for the same version number must
+    fail WITHOUT touching the winner's committed manifest (clobbering it
+    would silently replace a committed snapshot's contents).
+
+    Protocol: (1) atomically claim ``path + '.claim'`` — of two racers,
+    exactly one wins (plain exists()+rename was racy here: local rename
+    overwrites, so both racers could pass the exists check and the loser's
+    rename silently replaced the winner's committed manifest); (2) only
+    the claim owner renames its tmp into place, so no committed manifest
+    is ever overwritten; (3) read the manifest back and verify it is the
+    bytes just written — a belt-and-braces guard that turns any remaining
+    filesystem-specific non-atomicity (e.g. raw S3) into a detected
+    CommitConflict instead of silent corruption. The claim file is removed
+    on success; a crash between claim and rename leaves it behind, and the
+    next committer of that version reports it for manual repair."""
     jvm, fs, jpath, tmp = _write_tmp(spark, path, text)
-    if fs.exists(jpath) or not fs.rename(tmp, jpath):
+    claim = f"{path}.claim"
+    if not _claim_exclusive(jvm, fs, claim):
         fs.delete(tmp, False)
         raise CommitConflict(
-            f"{path} already exists — another writer committed this version "
-            "first (if no writer is active, an aborted commit left this "
-            "manifest behind; delete it to repair)"
+            f"{path} is being committed by another writer (claim file "
+            f"{claim} exists — if no writer is active, a crashed commit "
+            "left it behind; delete it to repair)"
         )
+    jclaim = jvm.org.apache.hadoop.fs.Path(claim)
+    try:
+        if fs.exists(jpath) or not fs.rename(tmp, jpath):
+            fs.delete(tmp, False)
+            raise CommitConflict(
+                f"{path} already exists — another writer committed this "
+                "version first (if no writer is active, an aborted commit "
+                "left this manifest behind; delete it to repair)"
+            )
+        readback = _read_text(fs, jvm, jpath)
+        if readback != text:
+            raise CommitConflict(
+                f"{path} changed under a racing writer after commit — "
+                "this filesystem's create/rename is not atomic; use a "
+                "locking catalog for concurrent committers"
+            )
+    finally:
+        fs.delete(jclaim, False)
 
 
 def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
@@ -453,11 +507,16 @@ def merge_upsert_snapshot_table(
 
     from pyspark.sql import functions as F
 
-    snap = load_snapshot(spark, table, current_version(spark, table))
+    # resolve the version ONCE and plan everything against it — resolving
+    # separately for load_snapshot and read_snapshot let a commit landing
+    # between the two mix one version's partition_cols/entries with
+    # another version's rows
+    v = current_version(spark, table)
+    snap = load_snapshot(spark, table, v)
     partition_cols = snap["partition_cols"]
     if not partition_cols:
         raise ValueError("merge needs a partitioned snapshot table")
-    current = read_snapshot(spark, table)
+    current = read_snapshot(spark, table, version=v)
     # canonicalize '' partition values to NULL before any comparison —
     # hive storage conflates them, and current (read back from disk)
     # always carries NULL (see _partition_values)
@@ -516,8 +575,9 @@ def compact(spark: SparkSession, table: str) -> int:
     Scale note: each append/merge widens the read plan by one scan; run
     this whenever the entry count crosses the tens — the rewrite cost is
     one full-table pass, the same job a first write costs."""
-    snap = load_snapshot(spark, table, current_version(spark, table))
-    pinned = read_snapshot(spark, table)
+    v = current_version(spark, table)  # pin once: entries + rows from ONE version
+    snap = load_snapshot(spark, table, v)
+    pinned = read_snapshot(spark, table, version=v)
     return snapshot_write(
         pinned, table, snap["partition_cols"], mode="overwrite",
         operation="compact",

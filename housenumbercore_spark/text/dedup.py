@@ -83,7 +83,9 @@ def with_shingle_hashes(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 2) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 2, shingled: DataFrame | None = None
+) -> DataFrame:
     """32-element MinHash signature per doc (universal hashing
     (a*h+b) mod 2^31-1 over shingle hashes; constants in hashing.py).
 
@@ -92,10 +94,17 @@ def minhash_signatures(docs: DataFrame, k: int = 2) -> DataFrame:
     lambdas are interpreted per element — measured 10×+ slower), and
     map-side partial aggregation collapses each doc to one row before the
     shuffle, so shuffle volume is |docs| × 32 int64s regardless of shingle
-    count."""
-    d = with_shingle_hashes(docs, k).select(
-        "doc_id", F.explode("sh31").alias("h")
-    )
+    count.
+
+    ``shingled`` (a :func:`with_shingle_hashes` frame, typically pinned)
+    skips recomputing the tokenize+shingle+md5 scan when the caller
+    already materialized it — that scan is the dominant cost of the whole
+    MinHash pipeline at corpus scale, and fusing it with the 32-way
+    aggregate in one stage also pushes the generated code past the JIT's
+    method limits (measured ~2× slower than split stages at sf0.1)."""
+    d = (
+        shingled if shingled is not None else with_shingle_hashes(docs, k)
+    ).select("doc_id", F.explode("sh31").alias("h"))
     aggs = [
         F.min(F.expr(f"({a} * h + {b}) % {MERSENNE31}")).alias(f"m{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -198,18 +207,22 @@ def minhash_dedup_pairs(
     payloads move, and one hot LSH bucket must not drag every shingle set
     of its members across the wire. A shared band already guarantees
     MINHASH_ROWS agreeing components, so the bar only bites above that."""
-    # pin the two corpus-derived frames: sigs feeds THREE consumers
-    # (bands, a-side, b-side) and sh feeds two differently-keyed verify
-    # joins — without the cache the dominant tokenize+shingle+md5 scan
-    # re-executes once per consumer (ReuseExchange can't dedupe joins with
-    # different keys), ~3x the whole job's scan cost at the 10¹²-doc shape.
+    # pin the corpus-derived frames: the shingle frame feeds the signature
+    # aggregate AND two differently-keyed verify joins, and sigs feeds
+    # THREE consumers (bands, a-side, b-side) — without the pins the
+    # dominant tokenize+shingle+md5 scan re-executes once per consumer
+    # (ReuseExchange can't dedupe joins with different keys), ~4x the
+    # whole job's scan cost at the 10¹²-doc shape. ONE shared checkpoint
+    # of with_shingle_hashes runs that scan exactly once (round-5 change:
+    # previously sh and sigs each re-ran it — measured 6.3 s → see bench).
     # localCheckpoint (like dedup_clusters), NOT persist(): DataFrame
     # persist lives in the CacheManager until an explicit unpersist this
     # API has no seam for, while checkpoint blocks are ContextCleaner-freed
     # when the result is dropped (trade: block loss on executor failure
     # recomputes the job rather than the lineage)
-    sh = with_shingle_hashes(docs, k).select("doc_id", "shingles").localCheckpoint()
-    sigs = minhash_signatures(docs, k).localCheckpoint()
+    wsh = with_shingle_hashes(docs, k).localCheckpoint()
+    sh = wsh.select("doc_id", "shingles")
+    sigs = minhash_signatures(docs, k, shingled=wsh).localCheckpoint()
     pairs = lsh_candidate_pairs(minhash_bands(sigs))
     siga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
     sigb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))

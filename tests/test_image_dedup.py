@@ -154,3 +154,20 @@ def test_exact_dedup_null_payloads_are_singletons(spark):
     got = {r.canonical_image_id: r.n_copies for r in D.exact_dedup(df).collect()}
     assert got["a"] == 2          # real byte-identical pair
     assert got["q1"] == 1 and got["q2"] == 1  # each NULL row its own group
+
+
+def test_caption_dedup_null_captions_are_not_a_group(spark):
+    """ADVICE r4 regression: NULL captions must not collapse into one
+    duplicate group (groupBy NULL-equality) — a downstream keep-one would
+    silently drop all but one uncaptioned image. Mirrors exact_dedup's
+    NULL-bytes policy: NULLs are excluded from grouping entirely."""
+    from housenumbercore_spark.images.dedup import caption_dedup
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "same"), ("d", "same"),
+         ("e", "only")],
+        "image_id string, caption string",
+    )
+    got = caption_dedup(df).collect()
+    assert len(got) == 1
+    assert got[0].caption_norm == "same" and got[0].n_copies == 2

@@ -306,6 +306,51 @@ class TestBombGuards:
         with pytest.raises(ValueError, match="component count"):
             J.decode_jpeg(buf)
 
+    def test_component_scaled_budget_rejected(self):
+        """ADVICE r4: the h*w cap alone lets a 4-component max-size SOF
+        allocate ~4x the budgeted coefficient cells (plus float64
+        reconstruct temporaries) — the TOTAL padded component cells are
+        budgeted at 3 full-res components at MAX_DECODE_PIXELS."""
+        import struct
+
+        from housenumbercore_spark.images import jpeg as J
+
+        side = int(J.MAX_DECODE_PIXELS ** 0.5) - 8  # h*w under the cap
+        nc = 4
+        sof = struct.pack(">BHHB", 8, side, side, nc) + b"".join(
+            struct.pack("BBB", i, 0x11, 0) for i in range(nc)
+        )
+        buf = (
+            b"\xff\xd8"
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="coefficient cells"):
+            J.decode_jpeg(buf)
+
+    def test_three_component_full_res_within_budget(self):
+        """3 full-res components at the pixel cap are exactly the
+        documented budget — the guard must NOT reject them (they fail
+        later only if the stream is otherwise truncated)."""
+        import struct
+
+        from housenumbercore_spark.images import jpeg as J
+
+        side = int(J.MAX_DECODE_PIXELS ** 0.5) - 8
+        sof = struct.pack(">BHHB", 8, side, side, 3) + b"".join(
+            struct.pack("BBB", i, 0x11, 0) for i in range(3)
+        )
+        buf = (
+            b"\xff\xd8"
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9"
+        )
+        try:
+            J.decode_jpeg(buf)
+        except ValueError as e:
+            assert "coefficient cells" not in str(e)
+            assert "MAX_DECODE_PIXELS" not in str(e)
+
     def test_non_integer_sampling_ratio_rejected(self):
         import struct
 

@@ -325,3 +325,97 @@ class TestLineageIntegration:
         man = {r.partition: r.input_fingerprint
                for r in CP.manifest_summary_full(spark, out).collect()}
         assert man == {"0": "snapshot-v1", "1": "snapshot-v1"}
+
+
+class TestCommitRace:
+    """Racing committers hit the atomic claim, not exists()+rename.
+
+    The pre-round-5 protocol was exists() then rename(); on overwriting-
+    rename filesystems (RawLocal/ChecksumFileSystem — every local run)
+    two racers could both pass the exists check and the loser's rename
+    silently REPLACED the winner's committed manifest. The claim file
+    (java.io.File.createNewFile = open(O_CREAT|O_EXCL), atomic across
+    threads and processes at the kernel) linearizes the commit; these
+    races synchronize on a barrier to land inside any TOCTOU window."""
+
+    def test_manifest_create_race_single_winner(self, spark, tmp_path):
+        import threading
+
+        rounds, racers = 12, 8
+        for r in range(rounds):
+            path = f"{tmp_path}/m/v{r}.json"
+            barrier = threading.Barrier(racers)
+            results: list[tuple[int, bool]] = []
+            lock = threading.Lock()
+
+            def attempt(i, path=path, barrier=barrier, results=results):
+                text = f'{{"writer": {i}}}'
+                barrier.wait()
+                try:
+                    SN._write_text_new(spark, path, text)
+                    ok = True
+                except SN.CommitConflict:
+                    ok = False
+                with lock:
+                    results.append((i, ok))
+
+            threads = [
+                threading.Thread(target=attempt, args=(i,))
+                for i in range(racers)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            winners = [i for i, ok in results if ok]
+            assert len(winners) == 1, f"round {r}: winners {winners}"
+            with open(path) as f:
+                assert f.read() == f'{{"writer": {winners[0]}}}'
+            # the claim file is removed on both the win and loss paths
+            assert not os.path.exists(f"{path}.claim")
+
+    def test_snapshot_write_race_single_winner(self, spark, table):
+        """Two concurrent snapshot_write commits against the same parent:
+        exactly one version-2 winner; the loser raises CommitConflict
+        without touching the winner's manifest; the loser's orphaned data
+        dir stays reclaimable by vacuum."""
+        import threading
+
+        barrier = threading.Barrier(2)
+        outcomes: dict[int, object] = {}
+
+        def commit(i):
+            df = _df(spark, [(100 + i, 0, f"racer-{i}")])
+            barrier.wait()
+            try:
+                outcomes[i] = SN.snapshot_write(
+                    df, table, ["bucket"], mode="append"
+                )
+            except SN.CommitConflict as e:
+                outcomes[i] = e
+
+        threads = [
+            threading.Thread(target=commit, args=(i,)) for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        versions = [v for v in outcomes.values() if isinstance(v, int)]
+        conflicts = [v for v in outcomes.values()
+                     if isinstance(v, SN.CommitConflict)]
+        # both landing distinct versions is a legal serial outcome (the
+        # slower racer read parent=2); a same-slot race must leave exactly
+        # one winner and one CommitConflict
+        assert len(versions) + len(conflicts) == 2 and versions
+        if len(versions) == 2:
+            assert sorted(versions) == [2, 3]
+            assert SN.read_snapshot(spark, table).count() == 22
+        else:
+            assert versions == [2]
+            assert SN.read_snapshot(spark, table).count() == 21
+        winner_rows = {
+            r.payload for r in SN.read_snapshot(spark, table).collect()
+        }
+        for v in versions:  # every committed version's row is present
+            assert any(p.startswith("racer-") for p in winner_rows)
