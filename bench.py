@@ -51,6 +51,11 @@ HEADLINE = [
     # image-payload dedup family representative (round 4); its volume
     # throughput lives in BENCH/phash_scale.py
     "image_phash_neardup",
+    # gate-early digest-verified assignment (round 4's payload-shaped
+    # flagship, images/assign.py) — in the headline so every round's
+    # BENCH_r{N}.json carries the payload number (round-4 verdict item 5);
+    # its replicated-volume scaling pair lives in BENCH/image_flagship.py
+    "image_gated_assign",
 ]
 
 

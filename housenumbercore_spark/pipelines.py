@@ -76,21 +76,29 @@ def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MATCHED_PIN: dict[tuple[str, str], DataFrame] = {}
 
 
+def evaluation_matched_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNPINNED match-evaluation plan (J5/J6) — broadcast dim joins and
+    the full-outer match join, before :func:`evaluation_matched` truncates
+    lineage with its pin. Plan assertions audit THIS (the checkpoint scan
+    the pinned variant returns has no joins left to inspect)."""
+    off = official_normalized(spark, sf_dir).select(
+        "job_id", "street", "hnr_key", "source_id"
+    )
+    osm = osm_best_objects(spark, sf_dir).select(
+        "job_id", "street", "hnr_key", "osm_id", "prio"
+    )
+    return ME.match_evaluation(off, osm).select(
+        "job_id", "street", "hnr_key", "treffertyp",
+        "source_id", "osm_id", "prio",
+    )
+
+
 def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The match evaluation (J5/J6): one row per housenumber identity."""
     key = (spark.sparkContext.applicationId, sf_dir)
     pinned = _MATCHED_PIN.get(key)
     if pinned is None:
-        off = official_normalized(spark, sf_dir).select(
-            "job_id", "street", "hnr_key", "source_id"
-        )
-        osm = osm_best_objects(spark, sf_dir).select(
-            "job_id", "street", "hnr_key", "osm_id", "prio"
-        )
-        pinned = ME.match_evaluation(off, osm).select(
-            "job_id", "street", "hnr_key", "treffertyp",
-            "source_id", "osm_id", "prio",
-        ).localCheckpoint()
+        pinned = evaluation_matched_plan(spark, sf_dir).localCheckpoint()
         _MATCHED_PIN[key] = pinned
     return pinned
 
@@ -533,7 +541,7 @@ def _csv_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(path):
         return path
     k = F.col("o_orderkey")
-    pdf = (
+    df = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select(
             k.alias("fid"),
@@ -546,13 +554,28 @@ def _csv_fixture_path(spark: SparkSession, sf_dir: str) -> str:
             F.concat(F.lit("bk-"), (k % 7).cast("string")).alias("Bemerkung"),
         )
         .orderBy("fid")
-        .toPandas()
     )
     # uuid tmp: concurrent writers (two drivers, parallel tests) each write
     # privately and publish with an atomic rename — no interleaved bytes,
-    # no FileNotFoundError when the loser's tmp was already moved
+    # no FileNotFoundError when the loser's tmp was already moved.
+    # STREAMED write (toLocalIterator): the driver holds one Arrow batch at
+    # a time instead of the whole table (the former .toPandas() pinned
+    # hundreds of MB of driver memory at large sf for what is a fixture).
+    # Formatting matches the previous pandas to_csv bytes exactly (verified
+    # by md5 at sf0.001/sf0.01): QUOTE_MINIMAL never fires on these fields,
+    # floats render as Python shortest-repr, '\n' endings, utf-8-sig BOM.
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    pdf.to_csv(tmp, sep=";", index=False, encoding="utf-8-sig")
+    cols = df.columns
+    with open(tmp, "w", encoding="utf-8-sig", newline="") as out:
+        out.write(";".join(cols) + "\n")
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            out.write(
+                ";".join(
+                    v if isinstance(v, str) else repr(v) if isinstance(v, float) else str(v)
+                    for v in (row[c] for c in cols)
+                )
+                + "\n"
+            )
     os.replace(tmp, path)
     return path
 

@@ -37,7 +37,11 @@ def test_flagship_scan_prunes_columns(spark):
 
 
 def test_match_eval_broadcasts_flag_dim(spark):
-    a = audit_plan(_q("match_evaluation")(spark, SF))
+    # audit the UNPINNED plan: the driver query memoizes a localCheckpoint
+    # (shared with evaluation_counters), whose plan is just a block scan
+    from housenumbercore_spark import pipelines as P
+
+    a = audit_plan(P.evaluation_matched_plan(spark, SF))
     assert a["n_broadcast_joins"] >= 2, "job-flag dim joins must broadcast"
     assert not a["has_batch_eval_python"]
 
