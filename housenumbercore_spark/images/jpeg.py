@@ -735,21 +735,28 @@ def _decode_to_coefficients(buf: bytes):
             mcuy = (h + 8 * max_v - 1) // (8 * max_v)
             # the h*w guard above caps the FRAME, not the allocation: each
             # component allocates its own padded coefficient plane (int64)
-            # plus ~the same again in float64 reconstruct temporaries, so
-            # a 4-component max-size hostile SOF would still drive ~2 GB
-            # of transient allocations — enough to OOM-kill the executor
-            # Python worker before the MemoryError catch can fire. Budget
-            # the TOTAL padded component cells at the documented worst
-            # case (3 full-resolution components at the pixel cap).
+            # plus ~the same again in float64 reconstruct temporaries.
+            # Budget the TOTAL padded component cells per ACTUAL component
+            # count with 1/8 headroom for MCU padding — a flat 3x budget
+            # rejected spec-legal streams the decoder otherwise accepts
+            # (4-component Adobe CMYK near the pixel cap; 4:4:4 at the cap
+            # with non-multiple-of-8 dims whose padding tips 3*h*w). Legal
+            # geometry (nc<=4, 16-bit dims, h*w<=cap) pads at most ~7%
+            # at the cap, so this fires only on padding bombs (a thin
+            # image whose 32px MCU rounding multiplies the plane) — the
+            # absolute transient ceiling is nc<=4 times the pixel cap,
+            # ~1 GB of int64 at the default cap; deployments with tighter
+            # executor Python memory lower MAX_DECODE_PIXELS.
             total_cells = sum(
                 mcuy * c["v"] * mcux * c["h"] * 64 for c in comps
             )
-            if total_cells > 3 * MAX_DECODE_PIXELS:
+            budget = nc * MAX_DECODE_PIXELS * 9 // 8
+            if total_cells > budget:
                 raise ValueError(
                     f"frame {w}x{h}x{nc} needs {total_cells} coefficient "
-                    f"cells, over the {3 * MAX_DECODE_PIXELS} budget "
-                    "(3 full-res components at MAX_DECODE_PIXELS); raise "
-                    "jpeg.MAX_DECODE_PIXELS to decode it"
+                    f"cells, over the {budget} budget ({nc} full-res "
+                    "components at MAX_DECODE_PIXELS plus MCU padding); "
+                    "raise jpeg.MAX_DECODE_PIXELS to decode it"
                 )
             coefs = [
                 np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)

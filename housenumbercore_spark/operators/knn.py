@@ -263,6 +263,13 @@ def knn_nearest_multires(
     storage if executor loss must not restart the job."""
     cores = points.sparkSession.sparkContext.defaultParallelism
     remaining = points.repartition(cores)  # decouple from input file count
+    # Round collapse needs the live point count: a point whose ring holds
+    # NO candidate emits zero rows from knn_nearest, so "no unsure rows"
+    # alone does not prove every point was answered. The count executes
+    # the repartition's shuffle map stage once; the ring-join jobs reuse
+    # those shuffle files (same RDD lineage), so this is one narrow pass,
+    # not a second scan.
+    n_remaining = remaining.count()
     out: DataFrame | None = None
     for i, res in enumerate(res_list):
         last = i == len(res_list) - 1
@@ -295,10 +302,16 @@ def knn_nearest_multires(
                 drop_cols = ["__worst", "__cnt", "__sure"]
             accepted = flags.filter(F.col("__sure")).drop(*drop_cols)
             out = accepted if out is None else out.unionByName(accepted)
-            # __sure is constant across a point's rows (scalar projection
-            # at n=1; a per-partition window at n>1), so zero unsure ROWS
-            # means zero unsure points → the remaining rounds are no-ops
-            if flags.filter(~F.col("__sure")).count() == 0:
+            # __sure is constant across a point's rows (one row per point
+            # at n=1; exactly n_neighbors rows per sure point at n>1, the
+            # __cnt == n_neighbors guard), so the sure POINT count falls
+            # out of the sure ROW count on the checkpointed blocks. Only
+            # when it equals the live point count is every point answered
+            # — a point whose ring held no candidate has NO rows here and
+            # must still escalate to the coarser fallback rounds.
+            n_sure = flags.filter(F.col("__sure")).count() // max(n_neighbors, 1)
+            n_remaining -= n_sure
+            if n_remaining == 0:
                 return out
             remaining = remaining.join(
                 flags.filter(F.col("__sure")).select(point_id).dropDuplicates(),

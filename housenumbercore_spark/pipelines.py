@@ -95,9 +95,16 @@ def evaluation_matched_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The match evaluation (J5/J6): one row per housenumber identity."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     pinned = _MATCHED_PIN.get(key)
     if pinned is None:
+        # drop entries from other applicationIds first: a process that
+        # cycles sessions (scaling.py runs run_bench per parallelism
+        # level) would otherwise accumulate DataFrame handles pinned to
+        # stopped JVM contexts — never hit, but never freed either
+        for k in [k for k in _MATCHED_PIN if k[0] != app]:
+            del _MATCHED_PIN[k]
         pinned = evaluation_matched_plan(spark, sf_dir).localCheckpoint()
         _MATCHED_PIN[key] = pinned
     return pinned

@@ -100,8 +100,16 @@ def _claim_exclusive(jvm, fs, path: str) -> bool:
     try:
         fs.create(jclaim, False).close()
         return True
-    except Exception:  # FileAlreadyExistsException (py4j-wrapped)
-        return False
+    except Exception as e:
+        # ONLY an already-exists outcome means "another writer owns the
+        # claim" — a transient RPC/auth failure must surface as itself,
+        # not as a phantom CommitConflict whose repair advice points at a
+        # claim file that does not exist
+        jexc = getattr(e, "java_exception", None)
+        name = jexc.getClass().getName() if jexc is not None else ""
+        if "AlreadyExists" in name or "AlreadyBeingCreated" in name:
+            return False
+        raise
 
 
 def _write_text_new(spark: SparkSession, path: str, text: str) -> None:
@@ -256,6 +264,9 @@ def _partition_values(
     return raw, rendered
 
 
+_UNSET = object()
+
+
 def snapshot_write(
     df: DataFrame,
     table: str,
@@ -263,6 +274,7 @@ def snapshot_write(
     mode: str = "append",
     replaced_partitions: list[tuple] | None = None,
     operation: str | None = None,
+    expected_parent: int | None | object = _UNSET,
 ) -> int:
     """Commit ``df`` as a new snapshot of ``table``; returns the version.
 
@@ -279,10 +291,25 @@ def snapshot_write(
 
     The data write is one Spark job into a fresh immutable directory; the
     commit is one atomic pointer rename. Readers pinned to any earlier
-    version are unaffected (their directories are never rewritten)."""
+    version are unaffected (their directories are never rewritten).
+
+    ``expected_parent`` is the optimistic-concurrency handle (Iceberg's
+    expected-snapshot-id): a caller that PLANNED ``df`` against a pinned
+    version must pass that version here, so the whole plan→commit span is
+    linearized by the exclusive create of ``v{expected_parent+1}.json`` —
+    a commit landing anywhere in between owns that manifest name first and
+    this write raises :class:`CommitConflict` instead of silently
+    rebuilding the intervening commit's partitions from stale rows. Left
+    unset, the parent is resolved here, which only guards the narrower
+    resolve→commit window (fine for writers whose ``df`` does not read
+    the table itself)."""
     spark = df.sparkSession
     partition_cols = list(partition_cols or [])
-    parent = current_version(spark, table)
+    parent = (
+        current_version(spark, table)
+        if expected_parent is _UNSET
+        else expected_parent
+    )
     parent_entries: list[dict] = []
     if parent is not None:
         snap = load_snapshot(spark, table, parent)
@@ -554,12 +581,17 @@ def merge_upsert_snapshot_table(
         hit_keys.alias("__h2"), ns("__k", "__h2", keys), "left_anti"
     )
     merged = kept.unionByName(updates.select(*kept.columns))
+    # expected_parent=v: the merge was PLANNED against v — if any commit
+    # lands between the pin above and the manifest create, the exclusive
+    # create of v{v+1}.json fails and this raises CommitConflict instead
+    # of rebuilding the touched partitions from pre-commit rows
     return snapshot_write(
         merged,
         table,
         partition_cols,
         mode="overwrite_partitions",
         replaced_partitions=touched_vals,
+        expected_parent=v,
     )
 
 
@@ -578,9 +610,12 @@ def compact(spark: SparkSession, table: str) -> int:
     v = current_version(spark, table)  # pin once: entries + rows from ONE version
     snap = load_snapshot(spark, table, v)
     pinned = read_snapshot(spark, table, version=v)
+    # expected_parent=v: a concurrent append between the pin and the
+    # manifest create must surface as CommitConflict — an unpinned parent
+    # would let the compacted (pre-append) file set overwrite it silently
     return snapshot_write(
         pinned, table, snap["partition_cols"], mode="overwrite",
-        operation="compact",
+        operation="compact", expected_parent=v,
     )
 
 

@@ -306,11 +306,33 @@ class TestBombGuards:
         with pytest.raises(ValueError, match="component count"):
             J.decode_jpeg(buf)
 
-    def test_component_scaled_budget_rejected(self):
-        """ADVICE r4: the h*w cap alone lets a 4-component max-size SOF
-        allocate ~4x the budgeted coefficient cells (plus float64
-        reconstruct temporaries) — the TOTAL padded component cells are
-        budgeted at 3 full-res components at MAX_DECODE_PIXELS."""
+    def test_component_scaled_budget_padding_bomb_rejected(self, monkeypatch):
+        """ADVICE r4 + r5 review: the cell budget scales by the ACTUAL
+        component count (a flat 3x budget rejected spec-legal 4-component
+        CMYK near the pixel cap), so what it uniquely catches is padding
+        geometry — a thin frame whose 32px MCU rounding multiplies the
+        padded plane far beyond h*w. Shrink the cap so the bomb fits the
+        pixel guard but blows the padded-cell budget."""
+        import struct
+
+        from housenumbercore_spark.images import jpeg as J
+
+        monkeypatch.setattr(J, "MAX_DECODE_PIXELS", 10_000)
+        # 1x9999 with 4x4 sampling: h*w = 9999 <= cap, but the plane pads
+        # to 32 x 10016 = 320k cells > 1 * 10000 * 9/8
+        sof = struct.pack(">BHHB", 8, 1, 9999, 1) + struct.pack("BBB", 0, 0x44, 0)
+        buf = (
+            b"\xff\xd8"
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="coefficient cells"):
+            J.decode_jpeg(buf)
+
+    def test_four_component_cmyk_near_cap_within_budget(self):
+        """A 4-component (Adobe CMYK) 4:4:4 frame near the pixel cap is
+        spec-legal and previously decodable — the nc-scaled budget must
+        NOT reject it (r5 review: the flat 3x budget did)."""
         import struct
 
         from housenumbercore_spark.images import jpeg as J
@@ -325,8 +347,11 @@ class TestBombGuards:
             + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
             + b"\xff\xd9"
         )
-        with pytest.raises(ValueError, match="coefficient cells"):
+        try:
             J.decode_jpeg(buf)
+        except ValueError as e:
+            assert "coefficient cells" not in str(e)
+            assert "MAX_DECODE_PIXELS" not in str(e)
 
     def test_three_component_full_res_within_budget(self):
         """3 full-res components at the pixel cap are exactly the

@@ -419,3 +419,36 @@ class TestCommitRace:
         }
         for v in versions:  # every committed version's row is present
             assert any(p.startswith("racer-") for p in winner_rows)
+
+
+class TestExpectedParent:
+    def test_stale_pin_conflicts_instead_of_reverting(self, spark, table):
+        """r5 review: per-caller version pinning closed the load/read
+        window but not the plan→commit span — a commit landing while a
+        merge's data-write job runs must surface as CommitConflict, not
+        silently rebuild the touched partitions from pre-commit rows.
+        ``expected_parent`` makes the exclusive v{N}.json create linearize
+        the WHOLE span: simulate the race by planning against v1, letting
+        another writer commit v2, then committing with expected_parent=1."""
+        planned = SN.read_snapshot(spark, table, version=1)
+        SN.snapshot_write(
+            _df(spark, [(100, 0, "a-100")]), table, ["bucket"]
+        )  # intervening commit -> v2
+        with pytest.raises(SN.CommitConflict):
+            SN.snapshot_write(
+                planned, table, ["bucket"], mode="overwrite",
+                operation="compact", expected_parent=1,
+            )
+        # the intervening commit survives untouched
+        assert SN.current_version(spark, table) == 2
+        ids = {r.id for r in SN.read_snapshot(spark, table).collect()}
+        assert 100 in ids
+
+    def test_unset_expected_parent_keeps_default_resolution(self, spark, table):
+        """Without expected_parent the parent is resolved at write start —
+        an append that does not read the table commits fine on top of any
+        current version."""
+        SN.snapshot_write(_df(spark, [(100, 0, "a-100")]), table, ["bucket"])
+        v = SN.snapshot_write(_df(spark, [(101, 1, "b-101")]), table, ["bucket"])
+        assert v == 3
+        assert SN.read_snapshot(spark, table).count() == 22

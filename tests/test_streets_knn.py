@@ -180,3 +180,42 @@ def test_streets_in_areas_touch_and_collinear_degeneracies(spark):
     }
     assert got == want
     assert {1, 2, 3, 5, 7, 8} <= got and 4 not in got and 6 not in got
+
+
+def test_multires_round_collapse_keeps_empty_ring_points(spark):
+    """Round collapse must not drop points whose k-ring holds NO candidate:
+    such points emit zero rows from knn_nearest, so "zero unsure rows" at
+    the finest res does not mean every point was answered — the isolated
+    point still needs the coarse fallback round (round-5 review finding).
+    """
+    from housenumbercore_spark.operators import knn as KN
+
+    # dense point 13 m from the street → provably sure at res 13;
+    # isolated point 1.2° away → empty ring-1 at res 13 AND res 10
+    # (cell 0.35°, ring reach ≤ 0.70°), answered only at res 8 (cell
+    # 1.41°, ring-1 always reaches 1.41°).
+    pts = spark.createDataFrame(
+        [(1, 7.5001, 50.9001), (2, 8.7, 50.9)],
+        "point_id long, lon double, lat double",
+    )
+    targets = spark.createDataFrame(
+        [(7, "T", 7.5, 50.9)],
+        "street_key long, name string, slon double, slat double",
+    )
+    out = {
+        r.point_id: r.street_key
+        for r in KN.knn_nearest_multires(
+            pts, targets, res_list=[13, 10, 8], k_ring=1
+        ).collect()
+    }
+    assert out == {1: 7, 2: 7}
+
+    # degenerate collapse: EVERY point has an empty finest ring → the
+    # first round emits no rows at all; the fallback must still answer
+    only_isolated = spark.createDataFrame(
+        [(2, 8.7, 50.9)], "point_id long, lon double, lat double"
+    )
+    out2 = KN.knn_nearest_multires(
+        only_isolated, targets, res_list=[13, 10, 8], k_ring=1
+    ).collect()
+    assert len(out2) == 1 and out2[0].street_key == 7
