@@ -149,8 +149,15 @@ def prepare_image_corpus(
     gated = df
     for c in conds:  # zero thresholds gate nothing and need no column
         gated = gated.filter(c)
-    canon = exact_dedup(gated, id_col=id_col).select(
-        F.col("canonical_image_id").alias(id_col)
+    # pin the canonical-id set (narrow: one id per kept image): three
+    # consumers read s2 (phash pairs, clusters, the final semi-join) and
+    # each would otherwise re-run exact_dedup's digest groupBy — the one
+    # stage that reads payload bytes. The PAYLOAD frame itself is never
+    # pinned; consumers that don't need bytes prune the column at scan.
+    canon = (
+        exact_dedup(gated, id_col=id_col)
+        .select(F.col("canonical_image_id").alias(id_col))
+        .localCheckpoint()
     )
     s2 = gated.join(canon, id_col, "left_semi")
     pairs = phash_neardup_pairs(s2, id_col=id_col, max_hamming=max_hamming)

@@ -278,8 +278,16 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 24) -> DataFrame:
     """Near-dup pairs by SimHash: 10-bit band equi-join for candidates,
-    then exact Hamming distance via bit_count(xor) refine."""
-    s = simhash(docs)
+    then exact Hamming distance via bit_count(xor) refine.
+
+    The hash frame is pinned (localCheckpoint, same rationale as
+    :func:`minhash_dedup_pairs`) because the band self-join consumes it
+    TWICE under different aliases and ReuseExchange does not canonicalize
+    the two sides — without the pin the dominant tokenize + explode +
+    60-bit-sum scan executes once per side (measured 3.7 → 2.6 s at
+    sf0.1; at the 10¹²-doc shape the pin is one narrow (doc_id, int64)
+    row per doc, negligible next to re-running the corpus scan)."""
+    s = simhash(docs).localCheckpoint()
     bb = SIMHASH_BAND_BITS
     bands = s.select(
         "doc_id",
@@ -328,8 +336,18 @@ def ngram_jaccard_pairs(
     the reported pairs' Jaccard values stay EXACT because the verify step
     recomputes them from the full distinct-shingle arrays. Recall caveat
     (documented contract): a pair whose every common shingle is hotter than
-    ``max_df`` is not reported."""
-    sh = with_shingle_hashes(docs, k).select("doc_id", "shingles", "sh31")
+    ``max_df`` is not reported.
+
+    The shingle frame is pinned (localCheckpoint, same rationale as
+    :func:`minhash_dedup_pairs`): five consumers read it — the df
+    aggregate, both sides of the inverted-index self-join, and both
+    verify sides — and without the pin each re-runs the dominant
+    tokenize + shingle + hash scan (measured 15 → ~6 s at sf0.1)."""
+    sh = (
+        with_shingle_hashes(docs, k)
+        .select("doc_id", "shingles", "sh31")
+        .localCheckpoint()
+    )
     inv = sh.select("doc_id", F.explode("sh31").alias("h"))
     hot = inv.groupBy("h").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") > max_df

@@ -361,8 +361,14 @@ NEARDUP_COS = 0.25  # driver testdata embeddings are near-random; 0.25 keeps
 
 
 def neardup_pairs(emb: DataFrame, threshold: float = NEARDUP_COS) -> DataFrame:
-    """Embedding-cosine near-dup pairs within shared LSH buckets."""
-    b = ann_buckets(emb)
+    """Embedding-cosine near-dup pairs within shared LSH buckets.
+
+    The bucketed frame is pinned (localCheckpoint, same rationale as
+    text/dedup.minhash_dedup_pairs): the self-join consumes it twice
+    under different aliases and ReuseExchange does not canonicalize the
+    sides, so without the pin the quantize + hyperplane-hash scan runs
+    once per side."""
+    b = ann_buckets(emb).localCheckpoint()
     left = b.select(
         F.col("vec_id").alias("vec_a"),
         F.col("qv").alias("qa"),
