@@ -452,3 +452,64 @@ class TestExpectedParent:
         v = SN.snapshot_write(_df(spark, [(101, 1, "b-101")]), table, ["bucket"])
         assert v == 3
         assert SN.read_snapshot(spark, table).count() == 22
+
+
+class TestConcurrentMerge:
+    def test_concurrent_merges_one_winner_no_lost_update(self, spark):
+        """End-to-end race through the expected_parent seam: two merges
+        pin the SAME version behind a barrier, then race plan→write→
+        commit. Exactly one must own v2; the loser must raise
+        CommitConflict — NOT silently rebuild the winner's touched
+        partitions from pre-merge rows (the lost-update shape the plain
+        per-caller pin still allowed). The final table must equal the
+        winner's merge applied alone."""
+        import threading
+
+        t = tempfile.mkdtemp(prefix="hns_mergerace_") + "/tbl"
+        SN.snapshot_write(
+            _df(spark, [(i, i % 4, f"v1-{i}") for i in range(20)]),
+            t,
+            ["bucket"],
+        )
+        barrier = threading.Barrier(2)
+        results: dict[int, object] = {}
+        lock = threading.Lock()
+
+        def merge(i):
+            upd = _df(spark, [(100 + i, i, f"w{i}")])
+            barrier.wait()
+            try:
+                v = SN.merge_upsert_snapshot_table(spark, t, upd, ["id"])
+                out = ("ok", v)
+            except SN.CommitConflict:
+                out = ("conflict", None)
+            except Exception as e:  # noqa: BLE001 - record for the assert
+                out = ("error", repr(e))
+            with lock:
+                results[i] = out
+
+        th = [threading.Thread(target=merge, args=(i,)) for i in range(2)]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+
+        outcomes = sorted(o for o, _ in results.values())
+        got = {r.id for r in SN.read_snapshot(spark, t).collect()}
+        if outcomes == ["conflict", "ok"]:
+            # the common schedule: both pinned v1, one owns v2 — final
+            # state is the winner's merge alone, the loser's rows absent
+            winner = next(i for i, (o, _) in results.items() if o == "ok")
+            assert SN.current_version(spark, t) == 2
+            assert 100 + winner in got
+            assert 100 + (1 - winner) not in got
+            assert len(got) == 21
+        else:
+            # legal rare schedule: one merge fully committed before the
+            # other pinned — true serial execution, both merges applied
+            assert outcomes == ["ok", "ok"], results
+            assert SN.current_version(spark, t) == 3
+            assert {100, 101} <= got and len(got) == 22
+        # in NO schedule may a lost update occur: every committed row of
+        # the base survives (no merge touched ids 0..19's values here)
+        assert set(range(20)) <= got
