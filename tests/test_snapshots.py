@@ -513,3 +513,65 @@ class TestConcurrentMerge:
         # in NO schedule may a lost update occur: every committed row of
         # the base survives (no merge touched ids 0..19's values here)
         assert set(range(20)) <= got
+
+
+def _race_commit_worker(i, table, barrier, q):
+    # module-level: the spawn start method must import this by name
+    from pyspark.sql import SparkSession
+
+    from housenumbercore_spark.sources import snapshots as SN2
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .appName(f"race{i}")
+        .getOrCreate()
+    )
+    try:
+        df = spark.createDataFrame(
+            [(100 + i, i, f"w{i}")], "id int, bucket int, payload string"
+        )
+        barrier.wait()
+        try:
+            out = ("ok", SN2.snapshot_write(df, table, ["bucket"], expected_parent=1))
+        except SN2.CommitConflict:
+            out = ("conflict", None)
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            out = ("error", repr(e)[:300])
+        q.put((i, out))
+    finally:
+        spark.stop()
+
+
+class TestTwoProcessCommitRace:
+    def test_two_jvms_race_one_winner(self, spark, table):
+        """The verdict's two-PROCESS race: two separate Spark driver JVMs
+        pin the same expected_parent and race the exclusive v2.json
+        create. The claim file (open(O_CREAT|O_EXCL) at the kernel) must
+        yield exactly one winner across PROCESSES, not just threads; the
+        loser raises CommitConflict and the winner's rows are intact."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        barrier = ctx.Barrier(2)
+        q = ctx.Queue()
+        ps = [
+            ctx.Process(target=_race_commit_worker, args=(i, table, barrier, q))
+            for i in range(2)
+        ]
+        for p in ps:
+            p.start()
+        res = dict(q.get(timeout=240) for _ in range(2))
+        for p in ps:
+            p.join(timeout=60)
+        # expected_parent pins BOTH writers to v1, so the outcome is
+        # deterministic regardless of scheduling: exactly one owns v2
+        outcomes = sorted(o for o, _ in res.values())
+        assert outcomes == ["conflict", "ok"], res
+        winner = next(i for i, (o, _) in res.items() if o == "ok")
+        assert SN.current_version(spark, table) == 2
+        got = {r.id for r in SN.read_snapshot(spark, table).collect()}
+        assert 100 + winner in got
+        assert 100 + (1 - winner) not in got
+        assert set(range(20)) <= got  # base rows never lost
