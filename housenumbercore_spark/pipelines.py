@@ -62,7 +62,11 @@ def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio", ME.osm_tag_priority("tags")
     )
     osm = osm.withColumn("hnr_key", ME.match_key("housenumber", "exact")).drop("exact")
-    return ME.best_osm_object(osm)
+    # tags (MapType) only exists to derive prio — drop it pre-best so the
+    # argmin STRUCT aggregate engages instead of the unorderable-payload
+    # window fallback (2.7 → 1.1 s on the sf0.1 build); no consumer of
+    # this frame reads tags
+    return ME.best_osm_object(osm.drop("tags"))
 
 
 # one pinned match frame per (Spark application, sf_dir): the counters

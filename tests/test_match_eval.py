@@ -96,3 +96,32 @@ def test_pipeline_matches_duckdb_oracle_sf0001(spark):
     for c in ("source_id", "osm_id", "prio"):
         a, b = got[c], want[c]
         assert ((a.isna() & b.isna()) | (a == b)).all(), c
+
+
+def test_best_object_agg_path_equals_window_path(spark):
+    """The argmin-struct fast path must be bit-identical to the window
+    ranking it replaces — including NULLs in carried columns (struct
+    comparison never reads past the unique osm_id, so NULL payloads can't
+    perturb the pick). A MapType column must force the window fallback."""
+    rows = [
+        (1, "S", "5", 100, 2, "a"),
+        (1, "S", "5", 50, 2, None),   # winner carries a NULL payload
+        (1, "S", "5", 10, 9, "c"),
+        (1, "T", "5", 7, 99, None),
+        (2, "S", "5", 3, 1, "d"),
+        (2, "S", "6", 4, 1, "e"),
+    ]
+    osm = spark.createDataFrame(
+        rows,
+        "job_id long, street string, hnr_key string, osm_id long,"
+        " prio int, note string",
+    )
+    fast = ME.best_osm_object(osm)
+    assert "Window" not in fast._jdf.queryExecution().executedPlan().toString()
+    # force the fallback on the same data via an unorderable dummy column
+    slow = ME.best_osm_object(
+        osm.withColumn("m", F.create_map(F.lit("k"), F.col("note")))
+    ).drop("m")
+    assert "Window" in slow._jdf.queryExecution().executedPlan().toString()
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
