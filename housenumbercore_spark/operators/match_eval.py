@@ -105,24 +105,9 @@ def best_osm_object(
     is bit-identical to the window ranking (verified both directions by
     exceptAll). A payload with an unorderable type (MapType tags) falls
     back to the row_number window, which only ORDERS BY (prio, osm_id)."""
-    from .knn import _has_unorderable_col
+    from .argmin import keep_min_row
 
-    group = [*keys, hnr_key]
-    rest = [c for c in osm.columns if c not in {*group, prio_col, osm_id}]
-    if not _has_unorderable_col(osm.schema):
-        agg = osm.groupBy(*group).agg(
-            F.min(F.struct(prio_col, osm_id, *rest)).alias("__b")
-        )
-        return agg.select(
-            *group, f"__b.{prio_col}", f"__b.{osm_id}",
-            *[f"__b.{c}" for c in rest],
-        ).select(*osm.columns)
-    w = W.partitionBy(*group).orderBy(F.col(prio_col).asc(), F.col(osm_id).asc())
-    return (
-        osm.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return keep_min_row(osm, [*keys, hnr_key], [prio_col, osm_id])
 
 
 def match_evaluation(

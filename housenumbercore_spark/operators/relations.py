@@ -9,15 +9,16 @@ OSMRelationAssociatedStreetWorkaround.java:130-415).
 
 Spark-first: explode the members array once into a narrow (member_id →
 rel) table, equi-join on object id, deterministic pick (lowest rel_id) via
-one window — the whole planet_rels scan becomes a single shuffle instead
-of a per-object array scan.
+a map-side-combining argmin aggregate — the whole planet_rels scan becomes
+a single partially-combined shuffle instead of a per-object array scan.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
+
+from .argmin import keep_min_row
 
 
 def resolve_associated_street(
@@ -34,11 +35,13 @@ def resolve_associated_street(
         F.col("name").alias("assoc_street"),
         F.explode("members").alias("member_id"),
     )
-    w = W.partitionBy("member_id").orderBy("rel_id")
-    best = (
-        members.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("member_id", "rel_id", "assoc_street")
+    # rel_id is unique per relation, so lowest-rel_id-wins is an exact
+    # argmin struct aggregate (operators/argmin.py) — map-side combine on
+    # the exploded membership frame instead of shuffling every member row
+    best = keep_min_row(
+        members.select("member_id", "rel_id", "assoc_street"),
+        ["member_id"],
+        ["rel_id"],
     )
     out = objects.join(
         best, objects[object_id] == best["member_id"], "left"

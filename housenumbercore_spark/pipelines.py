@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .operators import argmin as AM
 from .operators import match_eval as ME
 from .sources import addresses as A
 
@@ -35,12 +36,12 @@ def official_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = F.broadcast(A.job_flags_df(spark))
     off = A.official_df(spark, sf_dir).join(flags, "job_id")
     off = off.withColumn("hnr_key", ME.match_key("housenumber", "exact"))
-    w = W.partitionBy("job_id", "street", "hnr_key").orderBy("source_id")
-    return (
-        off.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "exact")
-    )
+    # source_id is unique per row, so the argmin struct aggregate
+    # (operators/argmin.py) is exact first-wins; map-side combine replaces
+    # the every-row shuffle + per-partition sort of the window plan
+    return AM.keep_min_row(
+        off, ["job_id", "street", "hnr_key"], ["source_id"]
+    ).drop("exact")
 
 
 def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
