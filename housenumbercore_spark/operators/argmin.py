@@ -1,21 +1,33 @@
-"""Generic keep-one-row-per-group argmin dispatch.
+"""Generic keep-one-row-per-group argmin with an explicit strategy choice.
 
 Several operators keep, per group, the single row minimizing an order
 tuple (W1 best OSM object, official first-wins dedup —
 HousenumberList.java:161-173 —, lowest-rel_id associatedStreet pick —
-OSMStreet.java:60-76). The obvious row_number()-window plan shuffles
-EVERY input row and then sorts each partition; when every carried column
-is orderable the same result is a ``min(struct(order..., rest))``
-aggregate whose map-side ``partial_min`` combine ships one row per group
-per partition instead (measured 2.7 → 1.1 s on the sf0.1 match build).
-Physically a SortAggregate — struct-min has no mutable hash buffer — but
-the shuffle-volume win is the aggregate's, not the operator kind's.
+OSMStreet.java:60-76). Two physical shapes compute it:
 
-Correct whenever the order tuple is unique within each group (all
-callers order by a per-row-unique id), because the struct comparison then
-never reads past the order columns and the pick is bit-identical to the
-window ranking. With ties the struct path breaks them by the remaining
-columns — deterministic, where row_number on a tied ORDER BY is not.
+- ``window``: row_number() over (partitionBy group, orderBy order) —
+  shuffle every row, one per-partition sort. The default.
+- ``agg``: ``min(struct(order..., rest))`` — a SortAggregate whose
+  map-side ``partial_min`` combines duplicate groups BEFORE the shuffle.
+
+The aggregate only pays when groups repeat *within a map partition*:
+its map-side sort + partial pass is pure overhead otherwise, and the
+per-partition duplication of a globally-2.4x-duplicated scattered key
+tends to ZERO as partition count grows (600k rows / 250k groups across
+1000 partitions ≈ all-distinct per partition). Measured on the sf0.1
+match build at local[32], 10 interleaved rounds: window 3.01 s median
+vs agg 3.43 s — so ``auto`` resolves to window, and callers opt into
+``agg`` where they KNOW per-partition duplication is high (the official
+first-wins dedup reduces 150k rows to 1.2k groups at sf0.1 — there the
+partial combine collapses the shuffle ~100x).
+
+Both shapes are bit-identical whenever the order tuple is unique within
+each group (all callers order by a per-row-unique id): the struct
+comparison never reads past the order columns. With ties the agg path
+breaks them by the remaining columns — deterministic, where row_number
+on a tied ORDER BY is not. A MapType anywhere in the schema cannot
+participate in struct ordering, so ``agg`` falls back to window (which
+only orders by ``order`` — unorderable payloads just ride along).
 """
 
 from __future__ import annotations
@@ -29,16 +41,26 @@ from pyspark.sql import Window as W
 from .knn import _has_unorderable_col
 
 
-def keep_min_row(df: DataFrame, group: Sequence[str], order: Sequence[str]) -> DataFrame:
+def keep_min_row(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[str],
+    strategy: str = "auto",
+) -> DataFrame:
     """Keep per ``group`` the row with the minimum ``order`` tuple,
-    preserving ``df``'s column set and order. Dispatches to the argmin
-    STRUCT aggregate when the schema is orderable; MapType anywhere in
-    the schema falls back to the row_number window (which only orders by
-    ``order`` — unorderable payloads just ride along)."""
+    preserving ``df``'s column set and order.
+
+    ``strategy``: ``"window"`` (and ``"auto"``, the measured default for
+    unknown group duplication) → row_number window; ``"agg"`` → argmin
+    STRUCT aggregate with map-side partial combine — opt in when groups
+    repeat many times per map partition (see module docstring), falls
+    back to window when the schema holds an unorderable type."""
+    if strategy not in ("auto", "window", "agg"):
+        raise ValueError(f"unknown keep_min_row strategy: {strategy!r}")
     group = list(group)
     order = list(order)
-    rest = [c for c in df.columns if c not in {*group, *order}]
-    if not _has_unorderable_col(df.schema):
+    if strategy == "agg" and not _has_unorderable_col(df.schema):
+        rest = [c for c in df.columns if c not in {*group, *order}]
         agg = df.groupBy(*group).agg(
             F.min(F.struct(*order, *rest)).alias("__b")
         )

@@ -94,20 +94,18 @@ def best_osm_object(
 ) -> DataFrame:
     """W1: keep per (keys, hnr_key) the object with min (prio, osm_id).
 
-    When every carried column is orderable, this is an argmin STRUCT
-    aggregate (same dispatch as operators/knn.py's k=1 path; measured
-    2.7 → 1.1 s on the sf0.1 match build). Physically a SortAggregate
-    (struct-min has no mutable hash buffer) — the win is the map-side
-    ``partial_min`` combine: the shuffle carries one row per group per
-    partition instead of every input row, where the window path shuffles
-    ALL rows and then sorts each partition. ``osm_id`` is unique
-    per row, so the struct comparison never reads past it and the result
-    is bit-identical to the window ranking (verified both directions by
-    exceptAll). A payload with an unorderable type (MapType tags) falls
-    back to the row_number window, which only ORDERS BY (prio, osm_id)."""
+    Uses the window strategy of :func:`..argmin.keep_min_row`: the OSM
+    side's group key (job, street, hnr_key) is near-unique per map
+    partition (600k rows → 250k groups at sf0.1, scattered), so the
+    argmin-aggregate's map-side combine has nothing to combine and its
+    extra sort pass measurably loses (window 3.01 s vs agg 3.43 s median,
+    10 interleaved rounds on the sf0.1 match build — see the argmin
+    module docstring). ``osm_id`` is unique per row, so both strategies
+    are bit-identical (verified both directions by exceptAll in
+    tests/test_match_eval.py)."""
     from .argmin import keep_min_row
 
-    return keep_min_row(osm, [*keys, hnr_key], [prio_col, osm_id])
+    return keep_min_row(osm, [*keys, hnr_key], [prio_col, osm_id], strategy="window")
 
 
 def match_evaluation(

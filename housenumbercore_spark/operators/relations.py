@@ -36,8 +36,10 @@ def resolve_associated_street(
         F.explode("members").alias("member_id"),
     )
     # rel_id is unique per relation, so lowest-rel_id-wins is an exact
-    # argmin struct aggregate (operators/argmin.py) — map-side combine on
-    # the exploded membership frame instead of shuffling every member row
+    # keep_min_row (operators/argmin.py). Window strategy: an address
+    # object is typically a member of ONE relation, so there is no
+    # per-partition group duplication for the agg strategy's map-side
+    # combine to exploit (measured equal-at-best — argmin module note)
     best = keep_min_row(
         members.select("member_id", "rel_id", "assoc_street"),
         ["member_id"],

@@ -37,10 +37,12 @@ def official_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = A.official_df(spark, sf_dir).join(flags, "job_id")
     off = off.withColumn("hnr_key", ME.match_key("housenumber", "exact"))
     # source_id is unique per row, so the argmin struct aggregate
-    # (operators/argmin.py) is exact first-wins; map-side combine replaces
-    # the every-row shuffle + per-partition sort of the window plan
+    # (operators/argmin.py, strategy="agg") is exact first-wins — and this
+    # side has the high per-partition group duplication the map-side
+    # partial_min combine exists for (150k rows → 1.2k groups at sf0.1:
+    # the shuffle collapses ~100x before it leaves the map side)
     return AM.keep_min_row(
-        off, ["job_id", "street", "hnr_key"], ["source_id"]
+        off, ["job_id", "street", "hnr_key"], ["source_id"], strategy="agg"
     ).drop("exact")
 
 
@@ -63,10 +65,8 @@ def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio", ME.osm_tag_priority("tags")
     )
     osm = osm.withColumn("hnr_key", ME.match_key("housenumber", "exact")).drop("exact")
-    # tags (MapType) only exists to derive prio — drop it pre-best so the
-    # argmin STRUCT aggregate engages instead of the unorderable-payload
-    # window fallback (2.7 → 1.1 s on the sf0.1 build); no consumer of
-    # this frame reads tags
+    # tags (MapType) only exists to derive prio — no consumer of this
+    # frame reads it, so drop it before the keep-best shuffle carries it
     return ME.best_osm_object(osm.drop("tags"))
 
 

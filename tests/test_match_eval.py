@@ -98,11 +98,14 @@ def test_pipeline_matches_duckdb_oracle_sf0001(spark):
         assert ((a.isna() & b.isna()) | (a == b)).all(), c
 
 
-def test_best_object_agg_path_equals_window_path(spark):
-    """The argmin-struct fast path must be bit-identical to the window
-    ranking it replaces — including NULLs in carried columns (struct
-    comparison never reads past the unique osm_id, so NULL payloads can't
-    perturb the pick). A MapType column must force the window fallback."""
+def test_keep_min_row_strategies_are_equivalent(spark):
+    """keep_min_row's agg strategy (argmin struct aggregate) must be
+    bit-identical to the window strategy — including NULLs in carried
+    columns (struct comparison never reads past the unique osm_id, so
+    NULL payloads can't perturb the pick). A MapType column must force
+    the agg strategy back to the window plan."""
+    from housenumbercore_spark.operators.argmin import keep_min_row
+
     rows = [
         (1, "S", "5", 100, 2, "a"),
         (1, "S", "5", 50, 2, None),   # winner carries a NULL payload
@@ -116,12 +119,22 @@ def test_best_object_agg_path_equals_window_path(spark):
         "job_id long, street string, hnr_key string, osm_id long,"
         " prio int, note string",
     )
-    fast = ME.best_osm_object(osm)
-    assert "Window" not in fast._jdf.queryExecution().executedPlan().toString()
-    # force the fallback on the same data via an unorderable dummy column
-    slow = ME.best_osm_object(
-        osm.withColumn("m", F.create_map(F.lit("k"), F.col("note")))
-    ).drop("m")
-    assert "Window" in slow._jdf.queryExecution().executedPlan().toString()
-    assert fast.exceptAll(slow).count() == 0
-    assert slow.exceptAll(fast).count() == 0
+    group, order = ["job_id", "street", "hnr_key"], ["prio", "osm_id"]
+    agg = keep_min_row(osm, group, order, strategy="agg")
+    assert "Window" not in agg._jdf.queryExecution().executedPlan().toString()
+    win = keep_min_row(osm, group, order, strategy="window")
+    assert "Window" in win._jdf.queryExecution().executedPlan().toString()
+    assert agg.exceptAll(win).count() == 0
+    assert win.exceptAll(agg).count() == 0
+    assert agg.columns == osm.columns
+    # an unorderable column forces the agg strategy back to the window plan
+    mapped = keep_min_row(
+        osm.withColumn("m", F.create_map(F.lit("k"), F.col("note"))),
+        group, order, strategy="agg",
+    )
+    assert "Window" in mapped._jdf.queryExecution().executedPlan().toString()
+    assert mapped.drop("m").exceptAll(win).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        keep_min_row(osm, group, order, strategy="bogus")
