@@ -38,7 +38,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .knn import _has_unorderable_col
+_BEST = "__argmin_best"
+_RN = "__argmin_rn"
+
+
+def has_unorderable_col(schema) -> bool:
+    """True if any column type cannot participate in struct ordering
+    (MapType anywhere in the type tree) — such schemas must take the
+    row_number window path in :func:`keep_min_row` and the window rank
+    path in ``operators.knn.knn_nearest``."""
+    from pyspark.sql import types as T
+
+    def bad(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return bad(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(bad(f.dataType) for f in dt.fields)
+        return False
+
+    return any(bad(f.dataType) for f in schema.fields)
 
 
 def keep_min_row(
@@ -58,18 +78,35 @@ def keep_min_row(
     if strategy not in ("auto", "window", "agg"):
         raise ValueError(f"unknown keep_min_row strategy: {strategy!r}")
     group = list(group)
-    order = list(order)
-    if strategy == "agg" and not _has_unorderable_col(df.schema):
+    # an order column that is also a group key is constant within each
+    # group — dropping it keeps the two strategies identical AND keeps the
+    # agg path's output free of duplicate column names
+    order = [c for c in order if c not in set(group)]
+    if not order:
+        raise ValueError("keep_min_row: order must name a non-group column")
+    for reserved in (_BEST, _RN):
+        if reserved in df.columns:
+            raise ValueError(f"keep_min_row: column name {reserved!r} is reserved")
+    def qc(c: str):
+        # backtick-quote every name: a bare "a.b" string would parse as a
+        # nested struct path, not the literal column name
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    if strategy == "agg" and not has_unorderable_col(df.schema):
         rest = [c for c in df.columns if c not in {*group, *order}]
-        agg = df.groupBy(*group).agg(
-            F.min(F.struct(*order, *rest)).alias("__b")
+        agg = df.groupBy(*[qc(c) for c in group]).agg(
+            F.min(F.struct(*[qc(c).alias(c) for c in (*order, *rest)])).alias(_BEST)
         )
-        return agg.select(
-            *group, *[f"__b.{c}" for c in (*order, *rest)]
-        ).select(*df.columns)
-    w = W.partitionBy(*group).orderBy(*[F.col(c).asc() for c in order])
+        picked = agg.select(
+            *[qc(c) for c in group],
+            *[F.col(_BEST).getField(c).alias(c) for c in (*order, *rest)],
+        )
+        return picked.select(*[qc(c) for c in df.columns])
+    w = W.partitionBy(*[qc(c) for c in group]).orderBy(
+        *[qc(c).asc() for c in order]
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
     )

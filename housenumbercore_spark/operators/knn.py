@@ -30,22 +30,9 @@ from ..geo import cells as C
 from ..geo.distance import EARTH_RADIUS_M, distance_m_col
 
 
-def _has_unorderable_col(schema) -> bool:
-    """True if any column type cannot participate in struct ordering
-    (MapType anywhere in the type tree) — such schemas must take the
-    window rank path in :func:`knn_nearest`."""
-    from pyspark.sql import types as T
-
-    def bad(dt) -> bool:
-        if isinstance(dt, T.MapType):
-            return True
-        if isinstance(dt, T.ArrayType):
-            return bad(dt.elementType)
-        if isinstance(dt, T.StructType):
-            return any(bad(f.dataType) for f in dt.fields)
-        return False
-
-    return any(bad(f.dataType) for f in schema.fields)
+# schema-orderability is shared infrastructure with keep_min_row; the
+# canonical definition lives in operators/argmin.py
+from .argmin import has_unorderable_col as _has_unorderable_col
 
 
 def _ring_offsets_df(spark, k: int):

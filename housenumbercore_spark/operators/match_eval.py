@@ -27,7 +27,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 DEFAULT_KEYS = ("job_id", "street")
 

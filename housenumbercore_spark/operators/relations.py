@@ -8,9 +8,11 @@ TheoreticalHousenumbers.java:184-289; batch variant
 OSMRelationAssociatedStreetWorkaround.java:130-415).
 
 Spark-first: explode the members array once into a narrow (member_id →
-rel) table, equi-join on object id, deterministic pick (lowest rel_id) via
-a map-side-combining argmin aggregate — the whole planet_rels scan becomes
-a single partially-combined shuffle instead of a per-object array scan.
+rel) table, equi-join on object id, deterministic pick (lowest rel_id)
+via keep_min_row's window strategy (an object belongs to ~one relation,
+so there is no per-partition duplication for the agg strategy's map-side
+combine to exploit) — the whole planet_rels scan becomes one shuffle
+instead of a per-object array scan.
 """
 
 from __future__ import annotations

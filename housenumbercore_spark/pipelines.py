@@ -65,9 +65,13 @@ def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio", ME.osm_tag_priority("tags")
     )
     osm = osm.withColumn("hnr_key", ME.match_key("housenumber", "exact")).drop("exact")
-    # tags (MapType) only exists to derive prio — no consumer of this
-    # frame reads it, so drop it before the keep-best shuffle carries it
-    return ME.best_osm_object(osm.drop("tags"))
+    # tags/building/entrance/amenity/housenumber only exist to derive
+    # prio and hnr_key — both consumers (the match build and the
+    # best_osm_object driver query) read exactly these five columns, so
+    # keep the keep-best shuffle rows narrow
+    return ME.best_osm_object(
+        osm.select("job_id", "street", "hnr_key", "osm_id", "prio")
+    )
 
 
 # one pinned match frame per (Spark application, sf_dir): the counters

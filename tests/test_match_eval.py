@@ -134,7 +134,37 @@ def test_keep_min_row_strategies_are_equivalent(spark):
     )
     assert "Window" in mapped._jdf.queryExecution().executedPlan().toString()
     assert mapped.drop("m").exceptAll(win).count() == 0
+    assert win.exceptAll(mapped.drop("m")).count() == 0
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         keep_min_row(osm, group, order, strategy="bogus")
+
+
+def test_keep_min_row_edge_contracts(spark):
+    """Overlapping group/order columns, dotted column names, reserved
+    helper names, and empty effective order — the generic-helper edges a
+    strategy flip must not change."""
+    from housenumbercore_spark.operators.argmin import keep_min_row
+
+    df = spark.createDataFrame(
+        [(1, 2, "x"), (1, 1, "y"), (2, 5, "z")],
+        "g long, o long, `v.w` string",
+    )
+    # a group column inside order is constant per group: both strategies
+    # drop it and agree, and the dotted payload column survives intact
+    a = keep_min_row(df, ["g"], ["g", "o"], strategy="agg")
+    w = keep_min_row(df, ["g"], ["g", "o"], strategy="window")
+    assert a.columns == df.columns and w.columns == df.columns
+    assert sorted((r.g, r.o, r["v.w"]) for r in a.collect()) == [
+        (1, 1, "y"), (2, 5, "z"),
+    ]
+    assert a.exceptAll(w).count() == 0 and w.exceptAll(a).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        keep_min_row(df, ["g"], ["g"])  # no non-group order column
+    with _pytest.raises(ValueError):
+        keep_min_row(
+            df.withColumnRenamed("o", "__argmin_best"), ["g"], ["__argmin_best"]
+        )
