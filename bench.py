@@ -100,7 +100,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
                     # session runs
                     from housenumbercore_spark import pipelines as P
 
-                    P._MATCHED_PIN.clear()
+                    P.clear_matched_pin(spark)
                 t0 = time.perf_counter()
                 df = q(spark, sf_dir)
                 try:

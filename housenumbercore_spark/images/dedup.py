@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..pinning import pin
+
 PHASH_BITS = 64
 PHASH_BAND_BITS = 16
 PHASH_BANDS = PHASH_BITS // PHASH_BAND_BITS
@@ -154,10 +156,10 @@ def prepare_image_corpus(
     # each would otherwise re-run exact_dedup's digest groupBy — the one
     # stage that reads payload bytes. The PAYLOAD frame itself is never
     # pinned; consumers that don't need bytes prune the column at scan.
-    canon = (
-        exact_dedup(gated, id_col=id_col)
-        .select(F.col("canonical_image_id").alias(id_col))
-        .localCheckpoint()
+    canon = pin(
+        exact_dedup(gated, id_col=id_col).select(
+            F.col("canonical_image_id").alias(id_col)
+        )
     )
     s2 = gated.join(canon, id_col, "left_semi")
     pairs = phash_neardup_pairs(s2, id_col=id_col, max_hamming=max_hamming)

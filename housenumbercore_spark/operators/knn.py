@@ -28,6 +28,7 @@ from pyspark.sql import Window as W
 
 from ..geo import cells as C
 from ..geo.distance import EARTH_RADIUS_M, distance_m_col
+from ..pinning import pin
 
 
 # schema-orderability is shared infrastructure with keep_min_row; the
@@ -234,11 +235,12 @@ def knn_nearest_multires(
     between a 10⁶-candidate round and a 10¹⁴-row cross join at the 10¹²
     target shape.
 
-    Materialization contract: one checkpoint job per non-final round — the
-    round's ranked+flag rows are localCheckpointed (lineage truncated), the
-    accepted subset and the next round's anti-join both read those stored
-    blocks, and the blocks are freed by RDD GC when the returned plan drops
-    its references. No explicit cache pinning (round 1's cache+anti-join
+    Materialization contract: one pin job per non-final round — the
+    round's ranked+flag rows are pinned with lineage truncated
+    (pinning.py, truncate=True: retained lineage would stack one
+    ring-join plan per round), the accepted subset and the next round's
+    anti-join both read those stored blocks, and the blocks are freed by
+    RDD GC when the returned plan drops its references. No explicit cache pinning (round 1's cache+anti-join
     structure pinned |points|×k rows per round for the whole job). After
     each checkpoint a narrow count over the stored flag blocks decides
     ROUND COLLAPSE: when the ring bound already proved every point's
@@ -246,8 +248,9 @@ def knn_nearest_multires(
     would otherwise re-scan the points for the anti-join and run a full
     (empty) ring join. The count is a cheap driver barrier on blocks the
     eager checkpoint materialized anyway; it does not re-execute lineage.
-    On a multi-executor cluster prefer ``df.checkpoint()`` to reliable
-    storage if executor loss must not restart the job."""
+    On a multi-executor cluster where executor loss must not restart the
+    job, run with the ``reliable`` pin strategy (pinning.py) so each
+    round checkpoints to durable storage."""
     cores = points.sparkSession.sparkContext.defaultParallelism
     remaining = points.repartition(cores)  # decouple from input file count
     # Round collapse needs the live point count: a point whose ring holds
@@ -271,20 +274,21 @@ def knn_nearest_multires(
             if n_neighbors == 1:
                 # one row per point already (argmin aggregate): the bound
                 # check is a plain projection, no window
-                flags = ranked.withColumn(
-                    "__sure", F.col("dist_m") < g
-                ).localCheckpoint(eager=True)
+                flags = pin(
+                    ranked.withColumn("__sure", F.col("dist_m") < g),
+                    truncate=True,
+                )
                 drop_cols = ["__sure"]
             else:
                 wcnt = W.partitionBy(point_id)
-                flags = (
+                flags = pin(
                     ranked.withColumn("__worst", F.max("dist_m").over(wcnt))
                     .withColumn("__cnt", F.count(F.lit(1)).over(wcnt))
                     .withColumn(
                         "__sure",
                         (F.col("__cnt") == n_neighbors) & (F.col("__worst") < g),
-                    )
-                    .localCheckpoint(eager=True)
+                    ),
+                    truncate=True,
                 )
                 drop_cols = ["__worst", "__cnt", "__sure"]
             accepted = flags.filter(F.col("__sure")).drop(*drop_cols)

@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from ..geo import cells as C
 from ..geo import geometry as G
+from ..pinning import pin
 from ..sources.streets import HIGHWAY_WHITELIST
 from .pip_join import cover_cells, pick_join_res
 
@@ -63,12 +64,8 @@ def streets_in_areas(
         res = pick_join_res(areas)
     # pin: the per-polygon Python cover computation feeds TWO broadcast
     # builds (endpoint join + boundary-only crossing join); without pinning
-    # it would execute twice per call. localCheckpoint, NOT persist():
-    # DataFrame.persist registers in the CacheManager, which holds the
-    # cache until an explicit unpersist this API has no seam for —
-    # localCheckpoint blocks are freed by the ContextCleaner when the
-    # result is garbage collected
-    dim = cover_cells(areas, res).localCheckpoint()
+    # it would execute twice per call. Mechanism per pinning.py.
+    dim = pin(cover_cells(areas, res))
     refine_cols = ["full", "ref_x", "ref_y", "ref_inside", "edges"]
 
     pts = streets.withColumn("__cell", C.cell_col("x0", "y0", res))

@@ -13,18 +13,21 @@ from pyspark.sql import Window as W
 
 from .operators import argmin as AM
 from .operators import match_eval as ME
+from .pinning import pin
 from .sources import addresses as A
 
 
 def _materialize_then_rm(df: DataFrame, path: str) -> DataFrame:
     """Pin a query result that was computed from a throwaway on-disk table,
-    then delete the table: localCheckpoint (eager) moves the rows into
-    executor block storage, cutting the lineage back to ``path``, so the
-    tempdir does not leak a table copy per invocation (the same
-    materialize-then-delete pattern as snapshot_time_travel)."""
+    then delete the table: the eager pin moves the rows out of the
+    lineage rooted at ``path``, so the tempdir does not leak a table copy
+    per invocation (the same materialize-then-delete pattern as
+    snapshot_time_travel). truncate=True — after the rmtree the lineage
+    is unreplayable, so a lineage-retaining pin would be wrong
+    (pinning.py)."""
     import shutil
 
-    out = df.localCheckpoint()
+    out = pin(df, truncate=True)
     shutil.rmtree(path, ignore_errors=True)
     return out
 
@@ -79,9 +82,9 @@ def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recomputing the full-outer match join per consumer doubled the pair's
 # cost (round-4 verdict item 4). Keyed by applicationId (timestamp-unique
 # per context, so entries from a stopped session can never be hit) over
-# immutable driver testdata; the pin is a localCheckpoint, whose blocks
-# the ContextCleaner frees with the entry. Bounded: one small frame
-# (~55k narrow rows at sf0.1) per sf_dir touched in a session.
+# immutable driver testdata; the pin strategy is pinning.py's (default
+# localCheckpoint, ContextCleaner-freed with the entry). Bounded: one
+# small frame (~55k narrow rows at sf0.1) per sf_dir touched in a session.
 _MATCHED_PIN: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -102,6 +105,20 @@ def evaluation_matched_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clear_matched_pin(spark: SparkSession | None = None) -> None:
+    """Drop the memoized match frames, releasing any CacheManager entries
+    the ``persist`` pin strategy created (pinning.unpin is a no-op for the
+    other strategies). Entries keyed to a STOPPED application are deleted
+    without unpinning — their JVM context is gone."""
+    from .pinning import unpin
+
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for k in list(_MATCHED_PIN):
+        df = _MATCHED_PIN.pop(k)
+        if app is not None and k[0] == app:
+            unpin(df)
+
+
 def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The match evaluation (J5/J6): one row per housenumber identity."""
     app = spark.sparkContext.applicationId
@@ -114,7 +131,7 @@ def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stopped JVM contexts — never hit, but never freed either
         for k in [k for k in _MATCHED_PIN if k[0] != app]:
             del _MATCHED_PIN[k]
-        pinned = evaluation_matched_plan(spark, sf_dir).localCheckpoint()
+        pinned = pin(evaluation_matched_plan(spark, sf_dir))
         _MATCHED_PIN[key] = pinned
     return pinned
 

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..pinning import pin
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -40,10 +42,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def drain_to_df(writer_source: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming frame through an availableNow memory sink and
-    return the result PINNED (localCheckpoint) with the temp view dropped —
-    a leaked memory-sink table otherwise holds the full result set in
-    driver memory for the life of the session (bench/driver sweeps run
-    dozens of these on ONE SparkSession)."""
+    return the result PINNED (pinning.py, truncate=True — the lineage
+    roots at a temp view this function drops, so it must not be replayed)
+    with the temp view dropped — a leaked memory-sink table otherwise
+    holds the full result set in driver memory for the life of the
+    session (bench/driver sweeps run dozens of these on ONE
+    SparkSession)."""
     name = "drain_" + uuid.uuid4().hex[:10]
     q = (
         writer_source.writeStream.format("memory")
@@ -54,7 +58,7 @@ def drain_to_df(writer_source: DataFrame, output_mode: str = "complete") -> Data
     )
     q.awaitTermination()
     spark = writer_source.sparkSession
-    out = spark.table(name).localCheckpoint()
+    out = pin(spark.table(name), truncate=True)
     spark.catalog.dropTempView(name)
     return out
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..pinning import pin
+
 
 def prepare_corpus(
     docs: DataFrame,
@@ -48,7 +50,7 @@ def prepare_corpus(
     come from ONE aggregate pass over the enrichment lineage (input /
     quality-gate / language-filter are conditional counts of the same
     narrow map), and the two expensive boundaries (post-exact-dedup
-    ``s3``, final ``kept``) are ``localCheckpoint``-ed BEFORE counting —
+    ``s3``, final ``kept``) are pinned (pinning.py) BEFORE counting —
     so the MinHash pair generation + cluster propagation execute exactly
     once per run, and the returned ``kept_docs`` is a materialized scan
     the caller can reuse without re-running any stage."""
@@ -107,7 +109,8 @@ def prepare_corpus(
         ex.filter(F.col("doc_id") == F.col("canonical_doc_id")).select("doc_id"),
         "doc_id",
         "left_semi",
-    ).localCheckpoint()  # feeds pair-gen AND kept AND the count: run once
+    )
+    s3 = pin(s3)  # feeds pair-gen AND kept AND the count: run once
     n3 = s3.count()
 
     pairs = TD.minhash_dedup_pairs(s3.select("doc_id", "text")).filter(
@@ -116,9 +119,13 @@ def prepare_corpus(
     clusters = TD.dedup_clusters(
         s3.select("doc_id"), pairs.select("doc_a", "doc_b")
     )
-    kept = s3.join(
-        clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint()  # counted here and materialized by the caller
+    kept = pin(
+        s3.join(
+            clusters.filter("is_canonical").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )  # counted here and materialized by the caller
     n4 = kept.count()
 
     report = docs.sparkSession.createDataFrame(
@@ -176,13 +183,11 @@ def sample_to_token_budget(
         else F.lit("__all__")
     )
     d = d.withColumn("__grp", grp)
-    # localCheckpoint: totals is n_groups rows, but its lineage tokenizes
-    # the whole corpus — without the pin, the count here AND the broadcast
-    # join below each re-run that scan
-    totals = (
-        d.groupBy("__grp")
-        .agg(F.sum("n_tokens").alias("__grp_tokens"))
-        .localCheckpoint(eager=True)
+    # pin: totals is n_groups rows, but its lineage tokenizes the whole
+    # corpus — without the pin, the count here AND the broadcast join
+    # below each re-run that scan
+    totals = pin(
+        d.groupBy("__grp").agg(F.sum("n_tokens").alias("__grp_tokens"))
     )
     n_groups = totals.count()
     per_group = budget_tokens / max(n_groups, 1)

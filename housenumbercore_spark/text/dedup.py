@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..pinning import pin, unpin
 from .analysis import tokens_col
 from .hashing import (
     MERSENNE31,
@@ -212,17 +213,14 @@ def minhash_dedup_pairs(
     # THREE consumers (bands, a-side, b-side) — without the pins the
     # dominant tokenize+shingle+md5 scan re-executes once per consumer
     # (ReuseExchange can't dedupe joins with different keys), ~4x the
-    # whole job's scan cost at the 10¹²-doc shape. ONE shared checkpoint
+    # whole job's scan cost at the 10¹²-doc shape. ONE shared pin
     # of with_shingle_hashes runs that scan exactly once (round-5 change:
     # previously sh and sigs each re-ran it — measured 6.3 s → see bench).
-    # localCheckpoint (like dedup_clusters), NOT persist(): DataFrame
-    # persist lives in the CacheManager until an explicit unpersist this
-    # API has no seam for, while checkpoint blocks are ContextCleaner-freed
-    # when the result is dropped (trade: block loss on executor failure
-    # recomputes the job rather than the lineage)
-    wsh = with_shingle_hashes(docs, k).localCheckpoint()
+    # Pin mechanism (localCheckpoint vs persist vs reliable checkpoint) is
+    # the deployment's choice — see pinning.py.
+    wsh = pin(with_shingle_hashes(docs, k))
     sh = wsh.select("doc_id", "shingles")
-    sigs = minhash_signatures(docs, k, shingled=wsh).localCheckpoint()
+    sigs = pin(minhash_signatures(docs, k, shingled=wsh))
     pairs = lsh_candidate_pairs(minhash_bands(sigs))
     siga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
     sigb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
@@ -280,14 +278,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 24) -> DataFrame:
     """Near-dup pairs by SimHash: 10-bit band equi-join for candidates,
     then exact Hamming distance via bit_count(xor) refine.
 
-    The hash frame is pinned (localCheckpoint, same rationale as
+    The hash frame is pinned (pinning.py, same rationale as
     :func:`minhash_dedup_pairs`) because the band self-join consumes it
     TWICE under different aliases and ReuseExchange does not canonicalize
     the two sides — without the pin the dominant tokenize + explode +
     60-bit-sum scan executes once per side (measured 3.7 → 2.6 s at
     sf0.1; at the 10¹²-doc shape the pin is one narrow (doc_id, int64)
     row per doc, negligible next to re-running the corpus scan)."""
-    s = simhash(docs).localCheckpoint()
+    s = pin(simhash(docs))
     bb = SIMHASH_BAND_BITS
     bands = s.select(
         "doc_id",
@@ -338,15 +336,13 @@ def ngram_jaccard_pairs(
     (documented contract): a pair whose every common shingle is hotter than
     ``max_df`` is not reported.
 
-    The shingle frame is pinned (localCheckpoint, same rationale as
+    The shingle frame is pinned (pinning.py, same rationale as
     :func:`minhash_dedup_pairs`): five consumers read it — the df
     aggregate, both sides of the inverted-index self-join, and both
     verify sides — and without the pin each re-runs the dominant
     tokenize + shingle + hash scan (measured 15 → ~6 s at sf0.1)."""
-    sh = (
-        with_shingle_hashes(docs, k)
-        .select("doc_id", "shingles", "sh31")
-        .localCheckpoint()
+    sh = pin(
+        with_shingle_hashes(docs, k).select("doc_id", "shingles", "sh31")
     )
     inv = sh.select("doc_id", F.explode("sh31").alias("h"))
     hot = inv.groupBy("h").agg(F.count(F.lit(1)).alias("__df")).filter(
@@ -395,9 +391,10 @@ def dedup_clusters(
     small and dense (diameter rarely > a few hops even at corpus scale),
     which is why plain propagation is the right tool here rather than the
     large/small-star contraction needed for web-graph-diameter inputs.
-    Both the edge set and each round's labels localCheckpoint like kNN's
-    multires loop: the (possibly expensive) pair-generation lineage runs
-    ONCE, labels' lineage stays flat, nothing pinned beyond the round.
+    Both the edge set and each round's labels are pinned (pinning.py)
+    like kNN's multires loop: the (possibly expensive) pair-generation
+    lineage runs ONCE, labels' lineage stays flat, nothing pinned beyond
+    the round.
     Isolated documents form singleton clusters (canonical by
     construction). Pairs whose endpoints are not in ``docs`` are ignored
     (otherwise a phantom id could win a cluster's canonical election and
@@ -410,24 +407,24 @@ def dedup_clusters(
         edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
         .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
     )
-    edges = (
+    edges = pin(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .dropDuplicates()
-        .localCheckpoint(eager=True)  # pair generation runs once, not per round
-    )
+        ).dropDuplicates()
+    )  # pair generation runs once, not per round
     labels = ids.withColumn("label", F.col("id"))
     converged = False
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "label")
-        new = (
+        # truncate=True: labels re-pins every round — retained lineage
+        # would stack one join+agg plan per round (pinning.py)
+        new = pin(
             labels.unionByName(prop)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            truncate=True,
         )
         changed = (
             new.alias("n")
@@ -440,6 +437,7 @@ def dedup_clusters(
         if changed == 0:
             converged = True
             break
+    unpin(edges)  # persist-strategy CacheManager entry; no-op otherwise
     if not converged:
         raise RuntimeError(
             f"dedup_clusters: min-label propagation not converged after "

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..pinning import pin
 from ..text.hashing import _const
 
 DIM = 64  # embedding dimensionality of the documents' embedding table
@@ -363,12 +364,12 @@ NEARDUP_COS = 0.25  # driver testdata embeddings are near-random; 0.25 keeps
 def neardup_pairs(emb: DataFrame, threshold: float = NEARDUP_COS) -> DataFrame:
     """Embedding-cosine near-dup pairs within shared LSH buckets.
 
-    The bucketed frame is pinned (localCheckpoint, same rationale as
+    The bucketed frame is pinned (pinning.py, same rationale as
     text/dedup.minhash_dedup_pairs): the self-join consumes it twice
     under different aliases and ReuseExchange does not canonicalize the
     sides, so without the pin the quantize + hyperplane-hash scan runs
     once per side."""
-    b = ann_buckets(emb).localCheckpoint()
+    b = pin(ann_buckets(emb))
     left = b.select(
         F.col("vec_id").alias("vec_a"),
         F.col("qv").alias("qa"),
