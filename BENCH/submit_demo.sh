@@ -18,9 +18,16 @@ with zipfile.ZipFile("/tmp/housenumbercore_spark.zip", "w") as z:
 EOF
 
 MASTER="${SPARK_MASTER:-local[8]}"
+# On a real multi-executor master, prefer the lineage-retaining pin
+# strategy so a lost executor recomputes instead of failing the job
+# (housenumbercore_spark/pinning.py; local[...] keeps the faster
+# localCheckpoint default):
+PIN_STRATEGY="${HNC_PIN_STRATEGY:-local}"
+case "$MASTER" in local*) ;; *) PIN_STRATEGY="${HNC_PIN_STRATEGY:-persist}" ;; esac
 exec spark-submit \
   --master "$MASTER" \
   --conf spark.sql.shuffle.partitions=32 \
   --conf spark.sql.adaptive.enabled=true \
+  --conf spark.housenumbercore.pin.strategy="$PIN_STRATEGY" \
   --py-files "$ZIP" \
   BENCH/submit_job.py "${1:-/root/testdata/sf0.001}"
