@@ -22,8 +22,13 @@ MASTER="${SPARK_MASTER:-local[8]}"
 # strategy so a lost executor recomputes instead of failing the job
 # (housenumbercore_spark/pinning.py; local[...] keeps the faster
 # localCheckpoint default):
+# single-JVM masters only: "local" / "local[N]" / "local[*]" —
+# local-cluster[...] spawns real executor JVMs and takes the cluster path
 PIN_STRATEGY="${HNC_PIN_STRATEGY:-local}"
-case "$MASTER" in local*) ;; *) PIN_STRATEGY="${HNC_PIN_STRATEGY:-persist}" ;; esac
+case "$MASTER" in
+  local|local\[*) ;;
+  *) PIN_STRATEGY="${HNC_PIN_STRATEGY:-persist}" ;;
+esac
 exec spark-submit \
   --master "$MASTER" \
   --conf spark.sql.shuffle.partitions=32 \

@@ -100,7 +100,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
                     # session runs
                     from housenumbercore_spark import pipelines as P
 
-                    P.clear_matched_pin(spark)
+                    P.clear_matched_pin()
                 t0 = time.perf_counter()
                 df = q(spark, sf_dir)
                 try:

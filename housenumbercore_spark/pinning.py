@@ -38,6 +38,20 @@ Strategy resolution (first match wins): Spark conf
 ``spark.housenumbercore.pin.strategy`` → env ``HNC_PIN_STRATEGY`` →
 ``local``. The conf is read per call, so a session can switch strategies
 between jobs (tests do).
+
+Operational contracts under the non-default strategies:
+
+- ``persist``: a pin whose frame ESCAPES into the returned plan (most
+  multi-consumer pins) holds its CacheManager entry until released —
+  Spark has no refcount GC for cached plans. A long-lived session running
+  many pipeline invocations should ``spark.catalog.clearCache()`` between
+  them (bench.py does); engine-internal memoizations self-heal after a
+  clearCache (see pipelines.evaluation_matched), and loop-scoped pins are
+  released in-function with :func:`unpin`.
+- ``reliable``: checkpoint files are cleaned by the ContextCleaner only
+  when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (the
+  engine's session factory sets it); otherwise each iterative round's
+  checkpoint stays in the durable dir until manual cleanup.
 """
 
 from __future__ import annotations
@@ -55,11 +69,15 @@ _STRATEGIES = ("local", "persist", "reliable")
 def pin_strategy(df_or_spark) -> str:
     """Resolve the active pin strategy for a DataFrame or SparkSession."""
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
-    raw = spark.conf.get(CONF_KEY, os.environ.get(ENV_KEY, "local"))
+    raw = spark.conf.get(CONF_KEY, None)
+    source = CONF_KEY
+    if raw is None:
+        raw = os.environ.get(ENV_KEY, "local")
+        source = ENV_KEY
     s = (raw or "local").strip().lower()
     if s not in _STRATEGIES:
         raise ValueError(
-            f"{CONF_KEY}={raw!r}: unknown pin strategy; "
+            f"{source}={raw!r}: unknown pin strategy; "
             f"expected one of {_STRATEGIES}"
         )
     return s

@@ -105,25 +105,41 @@ def evaluation_matched_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def clear_matched_pin(spark: SparkSession | None = None) -> None:
+def clear_matched_pin() -> None:
     """Drop the memoized match frames, releasing any CacheManager entries
     the ``persist`` pin strategy created (pinning.unpin is a no-op for the
-    other strategies). Entries keyed to a STOPPED application are deleted
-    without unpinning — their JVM context is gone."""
+    other strategies). Entries keyed to a STOPPED application cannot be
+    unpinned — their JVM context is gone — so unpin failures are
+    swallowed and the memo entry is dropped regardless."""
     from .pinning import unpin
 
-    app = spark.sparkContext.applicationId if spark is not None else None
     for k in list(_MATCHED_PIN):
         df = _MATCHED_PIN.pop(k)
-        if app is not None and k[0] == app:
+        try:
             unpin(df)
+        except Exception:  # noqa: BLE001 — stopped context
+            pass
 
 
 def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The match evaluation (J5/J6): one row per housenumber identity."""
+    from .pinning import pin_strategy
+
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     pinned = _MATCHED_PIN.get(key)
+    if (
+        pinned is not None
+        and pin_strategy(spark) == "persist"
+        and pinned.storageLevel.useMemory is False
+        and pinned.storageLevel.useDisk is False
+    ):
+        # a spark.catalog.clearCache() between queries (bench.py, session
+        # hygiene under the persist strategy) unpersisted the memoized
+        # frame out from under us — the handle would silently re-execute
+        # the full match join per consumer; rebuild the pin instead
+        del _MATCHED_PIN[key]
+        pinned = None
     if pinned is None:
         # drop entries from other applicationIds first: a process that
         # cycles sessions (scaling.py runs run_bench per parallelism

@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # free durable checkpoint files of GC'd frames (the 'reliable'
+        # pin strategy otherwise accumulates one per iterative round for
+        # the life of the checkpoint dir — pinning.py)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

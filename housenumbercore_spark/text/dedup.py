@@ -414,30 +414,34 @@ def dedup_clusters(
     )  # pair generation runs once, not per round
     labels = ids.withColumn("label", F.col("id"))
     converged = False
-    for _ in range(max_iter):
-        prop = edges.join(
-            labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "label")
-        # truncate=True: labels re-pins every round — retained lineage
-        # would stack one join+agg plan per round (pinning.py)
-        new = pin(
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label")),
-            truncate=True,
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            converged = True
-            break
-    unpin(edges)  # persist-strategy CacheManager entry; no-op otherwise
+    try:
+        for _ in range(max_iter):
+            prop = edges.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "label")
+            # truncate=True: labels re-pins every round — retained lineage
+            # would stack one join+agg plan per round (pinning.py)
+            new = pin(
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("label").alias("label")),
+                truncate=True,
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # persist-strategy CacheManager entry; no-op otherwise — released
+        # even when a mid-loop Spark failure propagates out
+        unpin(edges)
     if not converged:
         raise RuntimeError(
             f"dedup_clusters: min-label propagation not converged after "

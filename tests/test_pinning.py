@@ -37,7 +37,8 @@ def _src(spark, n=100):
     return spark.range(n).withColumn("v", F.col("id") * 3 + 1)
 
 
-def test_default_strategy_is_local(spark, strategy_conf):
+def test_default_strategy_is_local(spark, strategy_conf, monkeypatch):
+    monkeypatch.delenv("HNC_PIN_STRATEGY", raising=False)
     assert pin_strategy(spark) == "local"
     df = _src(spark)
     out = pin(df)
@@ -122,6 +123,36 @@ def test_env_fallback_and_conf_precedence(spark, strategy_conf, monkeypatch):
     assert pin_strategy(spark) == "local"
 
 
+def test_invalid_env_strategy_error_names_env_var(spark, strategy_conf, monkeypatch):
+    monkeypatch.setenv("HNC_PIN_STRATEGY", "presist")
+    with pytest.raises(ValueError, match="HNC_PIN_STRATEGY"):
+        pin_strategy(spark)
+
+
+def test_matched_memo_self_heals_after_clearcache(spark, strategy_conf):
+    """Session hygiene under the persist strategy is clearCache between
+    queries — the memoized match frame must detect its cache entry is
+    gone and rebuild instead of silently re-executing per consumer."""
+    from housenumbercore_spark import pipelines as P
+
+    sf = "/root/testdata/sf0.001"
+    strategy_conf("persist")
+    P.clear_matched_pin()
+    try:
+        first = P.evaluation_matched(spark, sf)
+        assert first.storageLevel.useMemory  # pinned via persist
+        n = first.count()
+        spark.catalog.clearCache()
+        assert not first.storageLevel.useMemory
+        healed = P.evaluation_matched(spark, sf)
+        assert healed is not first  # stale handle replaced
+        assert healed.storageLevel.useMemory
+        assert healed.count() == n
+    finally:
+        P.clear_matched_pin()
+        spark.catalog.clearCache()
+
+
 def test_operators_run_under_persist_strategy(spark, strategy_conf):
     """End-to-end sanity: a multi-consumer pinned operator (simhash pairs)
     and an iterative one (dedup_clusters) produce identical results under
@@ -145,4 +176,10 @@ def test_operators_run_under_persist_strategy(spark, strategy_conf):
 
     base = run()
     strategy_conf("persist")
-    assert run() == base
+    try:
+        assert run() == base
+    finally:
+        # release the escaping persist-strategy pins (simhash frame etc.)
+        # so the shared session-scoped SparkSession carries no cache
+        # entries into later test files
+        spark.catalog.clearCache()
