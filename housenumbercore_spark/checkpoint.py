@@ -21,9 +21,11 @@ Scale design:
   so a crash mid-partition leaves no manifest → that partition reruns; a
   rerun overwrites the partial data dir before committing. Completed
   partitions are never touched (verified by tests via directory mtimes).
-- The digest is ``bit_xor`` over a 60-bit row hash of the canonical row
-  JSON — order-independent, so it is stable under any shuffle/partitioning
-  and cheap (one extra map-side aggregate per partition).
+- The digest is two order-independent streams over a 60-bit row hash of
+  the canonical row JSON: ``bit_xor`` plus a 30-bit-masked ``sum`` (XOR
+  alone cancels on even row multiplicities; the sum breaks that
+  symmetry). Stable under any shuffle/partitioning and cheap — one md5
+  per row, one map-side-combinable aggregate per partition.
 """
 
 from __future__ import annotations
@@ -51,6 +53,16 @@ class PartitionManifest:
     cell_min: int | None = None
     cell_max: int | None = None
     pixel_digest: int | None = None  # xor over the per-image phash column
+    # second order-independent stream: SUM of the 30-bit-masked row hash.
+    # XOR alone cancels on even multiplicities ({X,X} and {Y,Y} both
+    # digest to 0), so count+xor passes an even-count row substitution;
+    # the sum breaks that symmetry (2·(x&mask) == 2·(y&mask) AND equal
+    # xor is a ~2^-90 coincidence). 30-bit mask keeps the long sum exact
+    # for < 2^33 rows per partition (partitions are coarse but bounded).
+    # None in manifests written before this field existed — verify then
+    # checks count+xor only.
+    value_sum: int | None = None
+    pixel_sum: int | None = None  # same construction over phash
 
 
 # THE row-hash definition: 60 bits of md5 over the canonical JSON of all
@@ -71,6 +83,9 @@ def row_digest_col():
 CELL_COL_CANDIDATES = ("cell", "tile_id", "__cell")
 
 
+_SUM_MASK = (1 << 30) - 1  # see PartitionManifest.value_sum
+
+
 def compute_digest(df: DataFrame) -> tuple[int, int]:
     """(row_count, order-independent xor digest) — the verify-side view of
     :func:`compute_stats` (same single pass, same digest definition)."""
@@ -80,11 +95,16 @@ def compute_digest(df: DataFrame) -> tuple[int, int]:
 
 def compute_stats(df: DataFrame) -> dict:
     """Single aggregate over a partition's data: row count, order-independent
-    value digest, cell range (when a cell/tile column exists) and xor pixel
-    digest (when a ``phash`` column exists). One pass, map-side combinable."""
+    value digest + masked-sum second stream, cell range (when a cell/tile
+    column exists) and pixel digest pair (when a ``phash`` column exists).
+    One pass, one md5 per row, map-side combinable."""
+    # attach the row hash ONCE; struct(*) expands to df's own columns at
+    # analysis time of this projection, so __rd never hashes itself
+    d = df.withColumn("__rd", row_digest_col())
     aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor({_ROW_DIGEST_SQL})").alias("d"),
+        F.expr("bit_xor(__rd)").alias("d"),
+        F.expr(f"sum(__rd & {_SUM_MASK})").alias("s"),
     ]
     cell = next((c for c in CELL_COL_CANDIDATES if c in df.columns), None)
     if cell:
@@ -92,14 +112,19 @@ def compute_stats(df: DataFrame) -> dict:
     has_phash = "phash" in df.columns
     if has_phash:
         aggs.append(F.expr("bit_xor(phash)").alias("pd"))
-    row = df.select(*aggs).collect()[0]
+        aggs.append(F.expr(f"sum(phash & {_SUM_MASK})").alias("ps"))
+    row = d.select(*aggs).collect()[0]
     return {
         "row_count": int(row.n),
         "value_digest": int(row.d if row.d is not None else 0),
+        "value_sum": int(row.s if row.s is not None else 0),
         "cell_min": int(row.cmin) if cell and row.cmin is not None else None,
         "cell_max": int(row.cmax) if cell and row.cmax is not None else None,
         "pixel_digest": (
             int(row.pd) if has_phash and row.pd is not None else None
+        ),
+        "pixel_sum": (
+            int(row.ps) if has_phash and row.ps is not None else None
         ),
     }
 
@@ -151,6 +176,10 @@ def _committed_part_names(spark: SparkSession, out_dir: str) -> list[str]:
     from .sources.sinks import _hadoop_fs
 
     jvm, fs, base = _hadoop_fs(spark, out_dir)
+    if not fs.exists(base):
+        # let read_checkpointed raise ITS explicit error (and summaries
+        # return empty) instead of a raw Py4J FileNotFoundException here
+        return []
     out = []
     for st in fs.listStatus(base):
         name = st.getPath().getName()
@@ -275,33 +304,41 @@ def manifest_summary(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def manifest_summary_full(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Full north-rule lineage view: + cell range and pixel digest."""
+    """Full north-rule lineage view: + cell range and digest streams."""
     rows = [
         (m.partition, m.input_fingerprint, m.row_count,
-         m.value_digest, m.cell_min, m.cell_max, m.pixel_digest)
+         m.value_digest, m.value_sum, m.cell_min, m.cell_max,
+         m.pixel_digest, m.pixel_sum)
         for m in _load_committed(spark, out_dir)
     ]
     return spark.createDataFrame(
         rows,
         "partition string, input_fingerprint string, row_count long, "
-        "value_digest long, cell_min long, cell_max long, pixel_digest long",
+        "value_digest long, value_sum long, cell_min long, cell_max long, "
+        "pixel_digest long, pixel_sum long",
     )
 
 
 def verify_checkpoints(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Recompute (count, digest) of each committed partition's data and
-    compare with its manifest — the audit the lineage exists for."""
+    """Recompute (count, xor digest, masked sum) of each committed
+    partition's data and compare with its manifest — the audit the lineage
+    exists for. The sum stream is checked only when the manifest recorded
+    one (pre-``value_sum`` manifests verify on count+xor)."""
     rows = []
     for m in _load_committed(spark, out_dir):
-        n, digest = compute_digest(
-            spark.read.parquet(_part_dir(out_dir, m.partition))
+        s = compute_stats(spark.read.parquet(_part_dir(out_dir, m.partition)))
+        ok = (
+            m.row_count == s["row_count"]
+            and m.value_digest == s["value_digest"]
+            and (m.value_sum is None or m.value_sum == s["value_sum"])
         )
         rows.append(
-            (m.partition, m.row_count, n, m.value_digest, digest,
-             m.row_count == n and m.value_digest == digest)
+            (m.partition, m.row_count, s["row_count"], m.value_digest,
+             s["value_digest"], m.value_sum, s["value_sum"], ok)
         )
     return spark.createDataFrame(
         rows,
         "partition string, manifest_rows long, actual_rows long, "
-        "manifest_digest long, actual_digest long, ok boolean",
+        "manifest_digest long, actual_digest long, manifest_sum long, "
+        "actual_sum long, ok boolean",
     )

@@ -187,20 +187,30 @@ def _max_manifest_version(jvm, fs, table: str) -> int | None:
 
 
 def current_version(spark: SparkSession, table: str) -> int | None:
-    """Version the table is at. Primary source: the VERSION pointer.
-    Fallback when the pointer file is absent but manifests exist: the
-    newest manifest — this covers (a) the delete→rename pointer-swap
-    window on filesystems without overwriting rename, and (b) crash
-    recovery for a writer that died between manifest write and pointer
-    flip (the manifest + data are complete; exposing them is the
-    linearizable completion of that commit)."""
+    """Version the table is at: max(VERSION pointer, newest manifest).
+
+    The commit's linearization point is the EXCLUSIVE manifest create
+    (data is fully written before it) — the pointer is a convenience
+    cache flipped afterwards. So a manifest newer than the pointer is a
+    completed commit whose writer died (or has not yet flipped) between
+    manifest create and pointer flip; exposing it is the linearizable
+    completion of that commit. Taking the max (rather than preferring
+    the pointer when present) also covers the delete→rename pointer-swap
+    window on filesystems without overwriting rename, AND prevents the
+    wedge where a stale pointer makes every subsequent writer resolve
+    the dead commit's parent, collide on its manifest name, and be told
+    to delete a COMMITTED manifest as 'aborted' — destroying the commit."""
     jvm, fs, _ = _hadoop_fs(spark, table)
     txt = _read_text(
         fs, jvm, jvm.org.apache.hadoop.fs.Path(f"{table}/{META}/VERSION")
     )
-    if txt:
-        return int(txt.strip())
-    return _max_manifest_version(jvm, fs, table)
+    ptr = int(txt.strip()) if txt else None
+    mx = _max_manifest_version(jvm, fs, table)
+    if ptr is None:
+        return mx
+    if mx is not None and mx > ptr:
+        return mx
+    return ptr
 
 
 def load_snapshot(spark: SparkSession, table: str, version: int) -> dict:
@@ -444,7 +454,10 @@ def read_snapshot(
     ``partition_filter`` ({col: value}), directories whose manifest
     partition values all miss the filter are pruned before Spark ever
     lists them — metadata-only partition pruning; the residual in-file
-    filter is applied on top so straddling entries stay correct."""
+    filter is applied on top so straddling entries stay correct.
+    Non-partition columns in the filter skip the pruning step and apply
+    as residual ``eqNullSafe`` row filters only (an unknown column name
+    fails loudly at Spark analysis)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -458,19 +471,28 @@ def read_snapshot(
     pcols = snap["partition_cols"]
     entries = snap["entries"]
     if partition_filter:
-        # '' ≡ NULL under hive partition storage (see _partition_values)
-        partition_filter = {
-            c: (None if w == "" else w) for c, w in partition_filter.items()
-        }
         idx = {c: i for i, c in enumerate(pcols)}
-        entries = [
-            e
-            for e in entries
-            if any(
-                all(p[idx[c]] == want for c, want in partition_filter.items())
-                for p in e["partitions"]
-            )
-        ]
+        # '' ≡ NULL under hive partition storage (see _partition_values) —
+        # but ONLY for partition columns; a data column stores '' and NULL
+        # distinctly in parquet and must not be conflated
+        partition_filter = {
+            c: (None if w == "" and c in idx else w)
+            for c, w in partition_filter.items()
+        }
+        # entry pruning applies only to actual partition columns; other
+        # filter columns fall through to the residual row filter below
+        # (a raw KeyError here named neither the table nor the valid
+        # partition columns)
+        part_filter = {c: w for c, w in partition_filter.items() if c in idx}
+        if part_filter:
+            entries = [
+                e
+                for e in entries
+                if any(
+                    all(p[idx[c]] == want for c, want in part_filter.items())
+                    for p in e["partitions"]
+                )
+            ]
     if not entries:
         from pyspark.sql.types import StructType
 
@@ -498,8 +520,19 @@ def read_snapshot(
             leaves = []
             for p in e["partitions_str"]:
                 rel = _fs_find_partition_dir(fs, jbase, tuple(p))
-                if rel is not None:  # absent leaf = partition had no rows
-                    leaves.append("/".join([base] + rel))
+                if rel is None:
+                    # manifest partitions come from _partition_values over
+                    # actually-written rows (narrowing only subsets them),
+                    # so every listed tuple HAS a leaf dir — an absent one
+                    # means external deletion/corruption; skipping it
+                    # would silently return incomplete data
+                    raise FileNotFoundError(
+                        f"snapshot v{v} of {table}: partition "
+                        f"{dict(zip(pcols, p))} of entry {e['dir']} has no "
+                        "leaf directory on disk — data dir vacuumed or "
+                        "externally deleted"
+                    )
+                leaves.append("/".join([base] + rel))
             if leaves:
                 parts.append(
                     spark.read.option("basePath", base).parquet(*leaves)
@@ -539,6 +572,11 @@ def merge_upsert_snapshot_table(
     # between the two mix one version's partition_cols/entries with
     # another version's rows
     v = current_version(spark, table)
+    if v is None:
+        raise FileNotFoundError(
+            f"{table} has no committed snapshot — snapshot_write an "
+            "initial version before merging into it"
+        )
     snap = load_snapshot(spark, table, v)
     partition_cols = snap["partition_cols"]
     if not partition_cols:
@@ -546,12 +584,21 @@ def merge_upsert_snapshot_table(
     current = read_snapshot(spark, table, version=v)
     # canonicalize '' partition values to NULL before any comparison —
     # hive storage conflates them, and current (read back from disk)
-    # always carries NULL (see _partition_values)
+    # always carries NULL (see _partition_values). Same for the delete
+    # frame's partition-valued KEY columns: a delete keyed on city=''
+    # must hit the stored city=NULL row, not silently no-op
     for c, t in updates.select(*partition_cols).dtypes:
         if t == "string":
             updates = updates.withColumn(
                 c, F.when(F.col(c) == "", F.lit(None)).otherwise(F.col(c))
             )
+    if deletes is not None:
+        for c, t in deletes.dtypes:
+            if c in partition_cols and t == "string":
+                deletes = deletes.withColumn(
+                    c,
+                    F.when(F.col(c) == "", F.lit(None)).otherwise(F.col(c)),
+                )
 
     def ns(left: str, right: str, cols: list[str]):
         return functools.reduce(
@@ -608,6 +655,10 @@ def compact(spark: SparkSession, table: str) -> int:
     this whenever the entry count crosses the tens — the rewrite cost is
     one full-table pass, the same job a first write costs."""
     v = current_version(spark, table)  # pin once: entries + rows from ONE version
+    if v is None:
+        raise FileNotFoundError(
+            f"{table} has no committed snapshot — nothing to compact"
+        )
     snap = load_snapshot(spark, table, v)
     pinned = read_snapshot(spark, table, version=v)
     # expected_parent=v: a concurrent append between the pin and the

@@ -575,3 +575,96 @@ class TestTwoProcessCommitRace:
         assert 100 + winner in got
         assert 100 + (1 - winner) not in got
         assert set(range(20)) <= got  # base rows never lost
+
+
+class TestRecoveryAndEdgeFindings:
+    """Round-5 review-pass regressions (crash recovery + merge edges)."""
+
+    def test_stale_pointer_does_not_wedge_table(self, spark, table):
+        """A writer that died AFTER the exclusive manifest create but
+        BEFORE the pointer flip left a complete commit behind: the
+        pointer says v1 while v2.json + its data exist. current_version
+        must expose v2 (the manifest create is the linearization point);
+        the previous pointer-wins resolution made every later writer
+        resolve parent=1, collide on v2.json, and advise deleting the
+        COMMITTED manifest as 'aborted'."""
+        SN.snapshot_write(
+            _df(spark, [(100, 0, "v2")]), table, ["bucket"], mode="append"
+        )
+        # simulate the crash window: regress the pointer behind the
+        # manifest (through the Hadoop FS writer — a POSIX rewrite would
+        # desync the ChecksumFileSystem's .crc sidecar)
+        SN._write_text_atomic(spark, f"{table}/_meta/VERSION", "1")
+        assert SN.current_version(spark, table) == 2
+        assert SN.read_snapshot(spark, table).count() == 21
+        # the next commit builds on v2 and heals the pointer
+        v3 = SN.snapshot_write(
+            _df(spark, [(101, 0, "v3")]), table, ["bucket"], mode="append"
+        )
+        assert v3 == 3
+        with open(f"{table}/_meta/VERSION") as f:
+            assert f.read().strip() == "3"
+        assert SN.read_snapshot(spark, table).count() == 22
+
+    def test_merge_delete_empty_string_partition_key(self, spark):
+        """A delete keyed on a partition column value of '' must hit the
+        stored NULL row ('' ≡ NULL under hive partition storage) instead
+        of silently no-opping."""
+        t = tempfile.mkdtemp(prefix="hns_snapdel_") + "/tbl"
+        SN.snapshot_write(
+            spark.createDataFrame(
+                [("", 1, "e-1"), ("", 2, "e-2"), ("x", 3, "x-3")],
+                "city string, id int, payload string",
+            ),
+            t,
+            ["city"],
+        )
+        deletes = spark.createDataFrame(
+            [("", 1)], "city string, id int"
+        )
+        SN.merge_upsert_snapshot_table(
+            spark, t,
+            spark.createDataFrame([], "city string, id int, payload string"),
+            ["city", "id"],
+            deletes=deletes,
+        )
+        got = {(r.city, r.id) for r in SN.read_snapshot(spark, t).collect()}
+        assert got == {(None, 2), ("x", 3)}, got
+
+    def test_partition_filter_data_column_is_residual(self, spark, table):
+        """A non-partition column in partition_filter applies as a
+        residual row filter (previously a bare KeyError from the pruning
+        comprehension)."""
+        got = SN.read_snapshot(
+            spark, table, partition_filter={"bucket": 1, "payload": "v1-5"}
+        ).collect()
+        assert [(r.id, r.bucket) for r in got] == [(5, 1)]
+
+    def test_merge_and_compact_on_fresh_table_raise_clearly(self, spark):
+        t = tempfile.mkdtemp(prefix="hns_snapfresh_") + "/tbl"
+        upd = spark.createDataFrame([(1, 0, "x")], "id int, bucket int, payload string")
+        with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+            SN.merge_upsert_snapshot_table(spark, t, upd, ["id"])
+        with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+            SN.compact(spark, t)
+
+    def test_narrowed_entry_missing_leaf_raises(self, spark, table):
+        """A narrowed (rows=None) entry's manifest-listed partition always
+        has a leaf dir on disk; if the dir was externally deleted the
+        read must raise, not silently return partial data."""
+        import shutil
+
+        # narrow the v1 entry by overwriting bucket 0 only
+        SN.snapshot_write(
+            _df(spark, [(200, 0, "new0")]),
+            table,
+            ["bucket"],
+            mode="overwrite_partitions",
+        )
+        snap = SN.load_snapshot(spark, table, 2)
+        narrowed = next(e for e in snap["entries"] if e.get("rows") is None)
+        # externally delete one kept leaf of the narrowed entry
+        victim = narrowed["partitions_str"][0]
+        shutil.rmtree(f"{table}/{narrowed['dir']}/bucket={victim[0]}")
+        with pytest.raises(FileNotFoundError, match="no leaf directory"):
+            SN.read_snapshot(spark, table).count()
