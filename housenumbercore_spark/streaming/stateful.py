@@ -8,11 +8,16 @@ each key's Arrow-batched rows fold into the state and the operator emits the
 updated running totals.
 
 Scale notes: state lives in the state store partitioned by the grouping key
-(shuffle on user_id), so key cardinality — not event volume — bounds memory;
-a processing-time timeout (configurable) evicts idle keys in continuous
-deployments. With the availableNow trigger the whole backlog drains in one
-batch and the emitted rows equal the batch aggregate — which is exactly what
-the DuckDB oracle checks.
+(shuffle on user_id), so key cardinality — not event volume — bounds memory.
+This operator runs with ``GroupStateTimeout.NoTimeout`` — running totals
+are permanent by definition, and the availableNow drains the driver/bench
+use are single-batch. A CONTINUOUS deployment whose keys churn should add
+idle-key eviction: pass ``ProcessingTimeTimeout``, call
+``state.setTimeoutDuration`` on every update, and branch on
+``state.hasTimedOut`` to ``state.remove()`` (without re-updating, which
+would re-arm the key) — the standard applyInPandasWithState eviction shape;
+this module does not wire it because evicting a running total silently
+zeroes it on the key's next event.
 """
 
 from __future__ import annotations
@@ -44,6 +49,21 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _round_half_up(v):
+    """SQL round() on doubles (Java BigDecimal HALF_UP of the double's
+    exact value): nearest integer everywhere; ties — only possible at an
+    exactly-representable .5 — away from zero. floor(abs(v)+0.5) looks
+    equivalent but the +0.5 ADDITION rounds 1-ulp-below-.5 inputs (e.g.
+    0.49999999999999994) up to 1.0, off by one vs SQL; np.rint's
+    half-to-even is exact except at true halves, which the where()
+    corrects."""
+    import numpy as np
+
+    r = np.rint(v)
+    half = np.abs(v - np.trunc(v)) == 0.5
+    return np.where(half, np.trunc(v) + np.sign(v), r)
+
+
 def _update(key, pdfs, state: GroupState):
     n, cents, first_us, last_us = (
         state.get if state.exists else (0, 0, None, None)
@@ -52,15 +72,11 @@ def _update(key, pdfs, state: GroupState):
 
     for pdf in pdfs:
         n += len(pdf)
-        # half-away-from-zero to match SQL round() (pandas .round is
-        # banker's half-to-even — off by one on exact half-cents);
         # NULL values drop from the sum like SQL SUM (a NaN reaching
-        # astype("int64") is platform-defined garbage, typically INT64_MIN)
+        # astype("int64") is platform-defined garbage)
         v = pdf["value"].to_numpy(dtype="float64") * 100
         v = v[~np.isnan(v)]
-        cents += int(
-            (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
-        )
+        cents += int(_round_half_up(v).astype("int64").sum())
         ts = pdf["ts"].dropna()  # NaT skips like SQL MIN/MAX
         if len(ts):
             ts_us = ts.astype("int64") // 1000  # ns → µs

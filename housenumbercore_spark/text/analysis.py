@@ -36,6 +36,13 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.expr(tokens_spark(text_col))
 
 
+def n_tokens_col(text_col: str = "text") -> Column:
+    """NULL-safe token count: 0 for NULL text (``F.size`` of a null array
+    is -1, which would corrupt budget/pack arithmetic). Single source of
+    truth for every token-count consumer (budget sampling, packing)."""
+    return F.greatest(F.lit(0), F.size(tokens_col(text_col)))
+
+
 def _sql_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 

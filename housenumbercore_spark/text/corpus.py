@@ -59,7 +59,10 @@ def prepare_corpus(
 
     # Column.isin unpacks a LIST but treats a TUPLE as one (unsupported)
     # array literal — normalize so callers can pass any iterable
-    languages = list(languages) if languages else None
+    # None = no language filter; an EMPTY list means "keep zero
+    # languages" and must filter everything, not silently disable the
+    # gate (a falsy check conflated the two)
+    languages = list(languages) if languages is not None else None
 
     # one narrow pass attaches both scores (keep_cols pass-through) —
     # joining projections of docs back to docs would shuffle the full
@@ -92,8 +95,13 @@ def prepare_corpus(
     )
 
     pass_q = F.col("quality") >= min_quality
+    # None disables the gate; [] keeps zero languages (isin([]) is
+    # all-false) — same None-vs-empty distinction as the normalization
+    # above
     pass_lang = (
-        pass_q & F.col("pred_lang").isin(languages) if languages else pass_q
+        pass_q & F.col("pred_lang").isin(languages)
+        if languages is not None
+        else pass_q
     )
     # stage counts 0-2 in a single job over the enrichment map (the
     # per-stage .count() chain re-ran the same lineage four times)
@@ -164,16 +172,12 @@ def sample_to_token_budget(
     token count of ``text``). ``n_tokens`` is RECOMPUTED here — a
     pre-existing ``n_tokens`` column on the input is replaced, so the
     budget arithmetic and the emitted counts always agree."""
-    from .analysis import tokens_col
+    from .analysis import n_tokens_col
     from .hashing import h60_spark
 
     # token counts as an inline column — a token_stats join here would
-    # self-join the corpus on doc_id and shuffle the full text. NULL text
-    # counts 0 tokens (F.size of a null array is -1, which would corrupt
-    # the group totals).
-    d = docs.withColumn(
-        "n_tokens", F.greatest(F.lit(0), F.size(tokens_col()))
-    )
+    # self-join the corpus on doc_id and shuffle the full text
+    d = docs.withColumn("n_tokens", n_tokens_col())
     # NULL group values coalesce to a sentinel: a plain equi-join on the
     # group key would silently drop every NULL-group document while its
     # reserved budget share went unspent
@@ -191,7 +195,13 @@ def sample_to_token_budget(
     )
     n_groups = totals.count()
     per_group = budget_tokens / max(n_groups, 1)
-    frac = F.least(F.lit(1.0), F.lit(per_group) / F.col("__grp_tokens"))
+    # a group whose docs are all zero-token (empty/whitespace/NULL text)
+    # has __grp_tokens = 0: keeping everything costs nothing, and the
+    # plain division would throw DIVIDE_BY_ZERO under Spark 4's default
+    # ANSI mode (oracle SQL carries the same guard in lockstep)
+    frac = F.when(F.col("__grp_tokens") == 0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.lit(per_group) / F.col("__grp_tokens"))
+    )
     keyed = d.join(F.broadcast(totals), "__grp").withColumn(
         "__h", F.expr(h60_spark(f"cast({id_col} as string)"))
     )
@@ -228,13 +238,17 @@ def contamination_check(
     d = TD.with_shingle_hashes(docs, k).select(
         "doc_id", F.size("sh31").alias("__n_doc"), F.explode("sh31").alias("h")
     )
+    # project to exactly (doc_id, text) up front: a rename alone would
+    # produce TWO doc_id columns (AMBIGUOUS_REFERENCE downstream) when the
+    # benchmark frame carries both bench_id and a leftover doc_id (natural
+    # for eval sets cut from the corpus)
+    bench = (
+        benchmark.select(F.col("bench_id").alias("doc_id"), "text")
+        if "bench_id" in benchmark.columns
+        else benchmark.select("doc_id", "text")
+    )
     b = (
-        TD.with_shingle_hashes(
-            benchmark.withColumnRenamed("bench_id", "doc_id")
-            if "bench_id" in benchmark.columns
-            else benchmark,
-            k,
-        )
+        TD.with_shingle_hashes(bench, k)
         .select(F.col("doc_id").alias("bench_id"), F.explode("sh31").alias("h"))
         .dropDuplicates()
     )
@@ -264,9 +278,12 @@ def pack_sequences(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Greedy sequence packing for training batches: → (doc_id, n_tokens,
-    pack_id, pack_slot). Every pack's token sum is ≤ ``max_tokens``
-    (documents longer than that are truncated-to-budget singleton packs,
-    flagged by pack_slot = -1 for the caller to split or drop).
+    pack_id, pack_slot). Every pack built from in-budget documents has a
+    token sum ≤ ``max_tokens``; a document longer than the budget becomes
+    a singleton pack carrying its FULL (untruncated) ``n_tokens`` and is
+    flagged by pack_slot = -1 — the caller decides whether to split,
+    truncate, or drop it (this function never alters token counts, so
+    the flag is the ONLY budget-violation signal).
 
     Shape: documents hash into ``n_buckets`` independent buckets
     (narrow (bucket, id, n_tokens) shuffle — text itself never moves);
@@ -279,12 +296,12 @@ def pack_sequences(
     2⁴⁰ packs per bucket. NULL text packs as 0 tokens."""
     import pandas as pd
 
-    from .analysis import tokens_col
+    from .analysis import n_tokens_col
     from .hashing import h60_spark
 
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.greatest(F.lit(0), F.size(tokens_col())).alias("n_tokens"),
+        n_tokens_col().alias("n_tokens"),
         (
             F.expr(h60_spark("cast(" + id_col + " as string)"))
             % F.lit(n_buckets)

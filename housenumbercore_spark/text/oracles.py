@@ -333,7 +333,9 @@ ng AS (SELECT COUNT(*) AS n FROM tot)
 SELECT doc_id, text, lang, source, n_chars, n_tokens
 FROM d JOIN tot USING (grp), ng
 WHERE CAST({h60_duck('CAST(doc_id AS VARCHAR)')} AS DOUBLE)
-      < least(1.0, (CAST({budget} AS DOUBLE) / ng.n) / tot.grp_tokens)
+      < CASE WHEN tot.grp_tokens = 0 THEN 1.0
+             ELSE least(1.0, (CAST({budget} AS DOUBLE) / ng.n)
+                             / tot.grp_tokens) END
         * 1152921504606846976.0"""
 
 

@@ -33,10 +33,13 @@ n AS (
 
 
 def _cos(a: str, b: str) -> str:
+    # zero-norm guard in lockstep with similarity.py _cos: cos := 0.0
+    # when either side's quantized norm is 0
     return (
-        f"CAST(round(CAST(list_inner_product({a}.qv, {b}.qv) AS DOUBLE) / "
+        f"CASE WHEN {a}.n2 = 0 OR {b}.n2 = 0 THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE CAST(round(CAST(list_inner_product({a}.qv, {b}.qv) AS DOUBLE) / "
         f"(sqrt(CAST({a}.n2 AS DOUBLE)) * sqrt(CAST({b}.n2 AS DOUBLE))), 6) "
-        "AS DOUBLE)"
+        "AS DOUBLE) END"
     )
 
 

@@ -53,13 +53,18 @@ def quantized(emb: DataFrame) -> DataFrame:
 
 
 def _cos(qa: str, qb: str, na: str, nb: str):
+    # zero-norm guard: an all-zero embedding (or one entirely below the
+    # quantization grid step) has n2 = 0, and the plain division throws
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode. Its dot product
+    # is necessarily 0, so cos := 0.0 is the principled value. Nonzero
+    # quantized norms are ≥ 1, so the guard never alters a real cosine.
+    # The DuckDB oracle (vectors/oracles.py _cos) carries the same CASE.
     dot = F.expr(
         f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
     )
-    return F.round(
-        dot.cast("double")
-        / (F.sqrt(F.col(na).cast("double")) * F.sqrt(F.col(nb).cast("double"))),
-        6,
+    denom = F.sqrt(F.col(na).cast("double")) * F.sqrt(F.col(nb).cast("double"))
+    return F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.round(dot.cast("double") / denom, 6)
     )
 
 
@@ -114,7 +119,16 @@ def ann_buckets(emb: DataFrame) -> DataFrame:
 
 
 def ann_candidates(emb: DataFrame, nq: int = NQ) -> DataFrame:
-    """Distinct (query_id, neighbor_id) sharing any LSH bucket."""
+    """Distinct (query_id, neighbor_id, cos_sim) sharing any LSH bucket.
+
+    The cosine is computed MAP-SIDE, before the pair dedup: a pair can
+    surface once per shared table (up to ANN_TABLES duplicate rows), and
+    deduplicating first would shuffle the two full quantized vectors +
+    norms (~1 KB/row) per candidate through the exchange — the payload
+    cost the minhash pipeline is engineered to avoid. Computing the
+    (deterministic) cosine up front costs at most ANN_TABLES-1 redundant
+    map-side dot products per pair and shrinks the shuffled row to three
+    scalars."""
     b = ann_buckets(emb)
     queries = b.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"),
@@ -133,18 +147,18 @@ def ann_candidates(emb: DataFrame, nq: int = NQ) -> DataFrame:
     return (
         corpus.join(F.broadcast(queries), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qa", "na", "qb", "nb")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos("qa", "qb", "na", "nb").alias("cos_sim"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
 
 def ann_topk(emb: DataFrame, nq: int = NQ, k: int = TOPK) -> DataFrame:
     """Approximate top-k: exact cosine ranking within LSH candidates."""
-    cand = ann_candidates(emb, nq).select(
-        "query_id",
-        "neighbor_id",
-        _cos("qa", "qb", "na", "nb").alias("cos_sim"),
-    )
+    cand = ann_candidates(emb, nq)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         cand.withColumn("knn_rank", F.row_number().over(w).cast("int"))
@@ -279,10 +293,14 @@ def ivf_index(
     for cid, cqv, cn2 in sorted(cents):
         arr = f"array({', '.join(str(int(x)) for x in cqv)})"
         dot = f"aggregate(zip_with(qv, {arr}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
-        cos = (
-            f"round(cast({dot} as double) / "
-            f"(sqrt(cast(n2 as double)) * sqrt({float(cn2)!r}d)), 6)"
-        )
+        if float(cn2) == 0.0:
+            cos = "0.0d"  # zero-norm centroid: cos := 0 (see _cos)
+        else:
+            # IF guards the zero-norm CORPUS vector (ANSI DIVIDE_BY_ZERO)
+            cos = (
+                f"IF(n2 = 0, 0.0d, round(cast({dot} as double) / "
+                f"(sqrt(cast(n2 as double)) * sqrt({float(cn2)!r}d)), 6))"
+            )
         structs.append(f"struct({cos} as s, {-int(cid)}L as nr)")
     best = f"array_max(array({', '.join(structs)}))"
     return q.withColumn(
@@ -384,12 +402,17 @@ def neardup_pairs(emb: DataFrame, threshold: float = NEARDUP_COS) -> DataFrame:
         "tbl",
         "bucket",
     )
+    # threshold BEFORE the pair dedup (refine-before-dedup, the measured
+    # pattern from text/dedup.simhash_pairs): the cosine is deterministic
+    # per pair, so filtering first is result-identical, and the dedup
+    # exchange then carries only above-threshold pairs instead of the
+    # full bucket-join fan-out (dominated by below-threshold pairs)
     return (
         left.join(right, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a", "vec_b", _cos("qa", "qb", "na", "nb").alias("cos_sim")
         )
-        .dropDuplicates(["vec_a", "vec_b"])
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
     )

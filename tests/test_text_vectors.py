@@ -741,3 +741,106 @@ def test_tokenization_drops_phantom_empty_tokens(spark):
         ).fetchall()
     }
     assert want == got
+
+
+def test_token_budget_zero_token_group_kept_not_crash(spark):
+    """A group whose docs are all zero-token has __grp_tokens = 0: the
+    budget division must not throw DIVIDE_BY_ZERO (Spark 4 ANSI default)
+    and keeping everything costs nothing, so all its docs survive."""
+    from housenumbercore_spark.text.corpus import sample_to_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "emptyg"),
+            (2, "   ", "emptyg"),
+            (3, "one two three four five six seven eight", "fullg"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    kept = sample_to_token_budget(docs, budget_tokens=4, by="lang").collect()
+    ids = {r.doc_id for r in kept}
+    assert {1, 2} <= ids  # zero-token group entirely kept
+    for r in kept:
+        if r.doc_id in (1, 2):
+            assert r.n_tokens == 0
+
+
+def test_cosine_zero_norm_vector_scores_zero(spark):
+    """An all-zero embedding must score cos 0.0 against everything, not
+    throw DIVIDE_BY_ZERO under ANSI mode — across brute force, LSH and
+    IVF paths."""
+    from housenumbercore_spark.vectors import similarity as VS
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0] * VS.DIM),                       # zero-norm query
+            (1, [1.0] + [0.0] * (VS.DIM - 1)),
+            (2, [0.5] + [0.0] * (VS.DIM - 1)),
+            (3, [0.0] * VS.DIM),                       # zero-norm corpus
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bf = VS.brute_force_topk(emb, nq=1, k=3).collect()
+    assert all(r.cos_sim == 0.0 for r in bf)  # query is the zero vector
+    ann = VS.ann_topk(emb, nq=2, k=3).collect()
+    assert all(
+        r.cos_sim == 0.0
+        for r in ann
+        if r.query_id == 0 or r.neighbor_id == 3
+    )
+    ivf = VS.ivf_index(emb, n_centroids=2)
+    assert ivf.count() == 4  # zero-norm rows assign without crashing
+    nd = VS.neardup_pairs(emb, threshold=0.9).collect()
+    assert {(r.vec_a, r.vec_b) for r in nd} == {(1, 2)}
+
+
+def test_contamination_benchmark_with_both_id_columns(spark):
+    """A benchmark cut from the corpus naturally carries bench_id AND a
+    leftover doc_id; the rename path must not create two doc_id columns
+    (AMBIGUOUS_REFERENCE)."""
+    from housenumbercore_spark.text.corpus import contamination_check
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(7, 1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "bench_id long, doc_id long, text string",
+    )
+    hits = contamination_check(docs, bench, min_common=1).collect()
+    assert [(r.doc_id, r.bench_id) for r in hits] == [(1, 7)]
+
+
+def test_prepare_corpus_empty_language_list_filters_all(spark):
+    """languages=[] means 'keep zero languages' — previously the falsy
+    check silently disabled the gate and kept everything."""
+    from housenumbercore_spark.text.corpus import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog again and "
+                "again because the test needs enough words " + str(i), "en")
+            for i in range(5)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    kept, report = prepare_corpus(docs, min_quality=0.0, languages=[])
+    assert kept.count() == 0
+    stages = {r.stage: r.n_out for r in report.collect()}
+    assert stages["language_filter"] == 0
+
+
+def test_stateful_rounding_matches_sql_round():
+    """_round_half_up == SQL round() on doubles: ties away from zero,
+    1-ulp-below-.5 stays down (floor(abs+0.5) rounded it up)."""
+    import numpy as np
+
+    from housenumbercore_spark.streaming.stateful import _round_half_up
+
+    v = np.array(
+        [0.5, -0.5, 1.5, 2.5, -2.5, 0.49999999999999994,
+         -0.49999999999999994, 0.4999999999999999, 3.0, -3.0, 0.0]
+    )
+    want = np.array([1, -1, 2, 3, -3, 0, 0, 0, 3, -3, 0], dtype="float64")
+    assert (_round_half_up(v) == want).all()
