@@ -40,6 +40,13 @@ from pyspark.sql import types as T
 from ..geo import cells as C
 from ..geo import geometry as G
 
+# dunder-reserved refine-payload columns produced by cover_cells and
+# consumed by jvm_refine_expr / seg_crossing_expr (reserved like __cell:
+# plain names would collide with user payload columns through the join)
+REFINE_COLS = (
+    "__pj_full", "__pj_ref_x", "__pj_ref_y", "__pj_ref_inside", "__pj_edges"
+)
+
 import os
 
 # Cover granularity trades boundary-cell share (finer → fewer refine
@@ -103,17 +110,11 @@ def _ring_edges(poly) -> np.ndarray:
     segs = []
     for p in G.to_polygons(poly):
         for ring in p.rings:
-            r = _np_close(ring)
+            r = G._close_ring(ring)  # single ring-closing definition (geo/geometry.py)
             segs.append(
                 np.column_stack([r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]])
             )
     return np.concatenate(segs) if segs else np.empty((0, 4))
-
-
-def _np_close(ring: np.ndarray) -> np.ndarray:
-    if len(ring) and not np.array_equal(ring[0], ring[-1]):
-        return np.vstack([ring, ring[:1]])
-    return ring
 
 
 def _parity(edges: np.ndarray, x: float, y: float) -> bool:
@@ -147,7 +148,14 @@ def cover_cells(
     wkb_col: str = "polygon",
 ) -> DataFrame:
     """Explode the polygon dimension into refine-ready cover rows:
-    ``(cell, area_id, full, ref_x, ref_y, ref_inside, edges)``.
+    ``(cell, area_id, __pj_full, __pj_ref_x, __pj_ref_y, __pj_ref_inside,
+    __pj_edges)``.
+
+    The refine payload columns are DUNDER-RESERVED (like ``__cell``): the
+    join in assign_points_to_areas duplicates dim columns onto the fact
+    side, so plain names like ``full``/``edges`` would collide with user
+    payload columns — an AMBIGUOUS_REFERENCE crash in the refine filter,
+    or a silently dropped user column on the exact=False path.
 
     Superset guarantee: a cell is emitted iff a corner/center is covered OR
     the boundary (padded, exact — see _boundary_cells) touches it; no
@@ -160,8 +168,8 @@ def cover_cells(
     reference point inside the cell that is provably off-boundary, and the
     reference point's even-odd membership. A point P in the cell is inside
     the polygon iff ref_inside XOR (segment ref→P properly crosses an odd
-    number of stored edges). ``full`` cells (entirely interior) carry zero
-    edges, so the same expression short-circuits to ``ref_inside``.
+    number of stored edges). Full cells (entirely interior) carry zero
+    edges, so the same expression short-circuits to ``__pj_ref_inside``.
 
     Scale note: the dim explodes to ≈ cover_cells × (1 + edges/cell) narrow
     rows; for dims too large to broadcast, use salted_cell_join and the
@@ -171,12 +179,14 @@ def cover_cells(
         [
             T.StructField("cell", T.LongType(), False),
             T.StructField(id_col, areas.schema[id_col].dataType, False),
-            T.StructField("full", T.BooleanType(), False),
-            T.StructField("ref_x", T.DoubleType(), False),
-            T.StructField("ref_y", T.DoubleType(), False),
-            T.StructField("ref_inside", T.BooleanType(), False),
+            T.StructField("__pj_full", T.BooleanType(), False),
+            T.StructField("__pj_ref_x", T.DoubleType(), False),
+            T.StructField("__pj_ref_y", T.DoubleType(), False),
+            T.StructField("__pj_ref_inside", T.BooleanType(), False),
             T.StructField(
-                "edges", T.ArrayType(T.ArrayType(T.DoubleType()), False), False
+                "__pj_edges",
+                T.ArrayType(T.ArrayType(T.DoubleType()), False),
+                False,
             ),
         ]
     )
@@ -185,8 +195,22 @@ def cover_cells(
         for pdf in batches:
             rows: list[tuple] = []
             for aid, wkb in zip(pdf[id_col].values, pdf[wkb_col].values):
-                poly = G.parse_wkb(bytes(wkb))
-                bx = poly.bbox()
+                # dimension rows are curated admin boundaries: a NULL /
+                # empty / non-areal geometry is a data-model error, not
+                # dirty payload — fail LOUDLY but with the offending area
+                # named (the raw TypeError/IndexError deep in the parse
+                # names nothing), unlike the payload-side quarantine seams
+                try:
+                    if wkb is None:
+                        raise ValueError("NULL geometry")
+                    poly = G.parse_wkb(bytes(wkb))
+                    bx = poly.bbox()
+                except Exception as exc:
+                    raise ValueError(
+                        f"cover_cells: {id_col}={aid!r} has an unusable "
+                        f"{wkb_col} ({type(exc).__name__}: {exc}) — the "
+                        "polygon dimension must carry valid areal WKB"
+                    ) from exc
                 cand = C.cover_bbox(bx[0], bx[1], bx[2], bx[3], res)
                 lo, la, hi, ha = C.cell_bounds(cand)
                 corner_all = np.ones(len(cand), dtype=bool)
@@ -238,8 +262,8 @@ def cover_cells(
             if rows:
                 yield pd.DataFrame(
                     rows,
-                    columns=["cell", id_col, "full", "ref_x", "ref_y",
-                             "ref_inside", "edges"],
+                    columns=["cell", id_col, "__pj_full", "__pj_ref_x",
+                             "__pj_ref_y", "__pj_ref_inside", "__pj_edges"],
                 )
 
     return areas.select(id_col, wkb_col).mapInPandas(gen, out_schema)
@@ -270,17 +294,18 @@ def jvm_refine_expr(
     whenever the edge could cross the ref→point segment interior.
     """
     # ccw(A,B,P) sign tests; A=ref, B=point, C/D=edge endpoints
-    d1 = f"((({lon})-ref_x)*(e[1]-ref_y) - (({lat})-ref_y)*(e[0]-ref_x))"
-    d2 = f"((({lon})-ref_x)*(e[3]-ref_y) - (({lat})-ref_y)*(e[2]-ref_x))"
-    d3 = f"((e[2]-e[0])*(ref_y-e[1]) - (e[3]-e[1])*(ref_x-e[0]))"
+    rx, ry = "__pj_ref_x", "__pj_ref_y"
+    d1 = f"((({lon})-{rx})*(e[1]-{ry}) - (({lat})-{ry})*(e[0]-{rx}))"
+    d2 = f"((({lon})-{rx})*(e[3]-{ry}) - (({lat})-{ry})*(e[2]-{rx}))"
+    d3 = f"((e[2]-e[0])*({ry}-e[1]) - (e[3]-e[1])*({rx}-e[0]))"
     d4 = f"((e[2]-e[0])*(({lat})-e[1]) - (e[3]-e[1])*(({lon})-e[0]))"
     crossings = (
-        f"aggregate(edges, 0, (acc, e) -> acc + "
+        f"aggregate(__pj_edges, 0, (acc, e) -> acc + "
         f"IF( (({d1}) < 0) != (({d2}) < 0) AND (({d3}) < 0) != (({d4}) < 0), "
         f"1, 0))"
     )
     on_edge = (
-        f"exists(edges, e -> ({d4}) = 0 "
+        f"exists(__pj_edges, e -> ({d4}) = 0 "
         f"AND ({lon}) >= least(e[0], e[2]) AND ({lon}) <= greatest(e[0], e[2]) "
         f"AND ({lat}) >= least(e[1], e[3]) AND ({lat}) <= greatest(e[1], e[3]))"
     )
@@ -289,7 +314,7 @@ def jvm_refine_expr(
     edge_result = "true" if predicate == "covers" else "false"
     return F.expr(
         f"CASE WHEN {on_edge} THEN {edge_result} "
-        f"ELSE ref_inside != (({crossings}) % 2 = 1) END"
+        f"ELSE __pj_ref_inside != (({crossings}) % 2 = 1) END"
     )
 
 
@@ -323,7 +348,7 @@ def seg_crossing_expr(
         f"(({d3}) = 0 AND {on_seg_e(x0, y0)}) OR "
         f"(({d4}) = 0 AND {on_seg_e(x1, y1)})"
     )
-    return F.expr(f"exists(edges, e -> ({proper}) OR ({touch}))")
+    return F.expr(f"exists(__pj_edges, e -> ({proper}) OR ({touch}))")
 
 
 def seg_cover_cells_cols(
@@ -365,6 +390,9 @@ def refine_covers(
     a broadcast join against the area dim, so bytes move executor-to-
     executor once per build, never through a driver collect); parsed
     geometries are cached per Python worker keyed by area id."""
+    if predicate not in ("covers", "contains"):
+        # same failure shape as jvm_refine_expr for the same user error
+        raise ValueError(f"unknown predicate {predicate!r}")
     pred_fn = {"covers": G.covers, "contains": G.contains_point}[predicate]
     out_schema = T.StructType(
         [f for f in cand.schema.fields if f.name != wkb_col]
@@ -415,11 +443,15 @@ def assign_points_to_areas(
     ``refine="python"`` routes boundary-cell candidates through the
     vectorized kernel instead (boundary-inclusive ``covers`` / strict
     ``contains`` semantics for points exactly ON a polygon boundary).
+
+    ``spark`` is unused (the plan derives everything from the input
+    frames); the parameter stays for signature uniformity with the
+    session-bound operators every caller already threads a session to.
     """
     if res is None:
         res = pick_join_res(areas)
     dim = cover_cells(areas, res, id_col=id_col, wkb_col=wkb_col)
-    refine_cols = ["full", "ref_x", "ref_y", "ref_inside", "edges"]
+    refine_cols = list(REFINE_COLS)
     pts = points.withColumn("__cell", C.cell_col(lon, lat, res))
     # internal name for the dim join column — dropping 'cell' by name
     # would also clobber a points payload column called 'cell'
@@ -439,8 +471,8 @@ def assign_points_to_areas(
     # python path: interior cells accepted by construction, boundary cells
     # through the vectorized exact kernel; the polygon WKB reaches the
     # refine via a broadcast dim join (no driver-side collect)
-    interior = cand.filter(F.col("full")).drop(*refine_cols)
-    boundary = cand.filter(~F.col("full")).drop(*refine_cols)
+    interior = cand.filter(F.col("__pj_full")).drop(*refine_cols)
+    boundary = cand.filter(~F.col("__pj_full")).drop(*refine_cols)
     wkb_dim = areas.select(id_col, F.col(wkb_col).alias("__wkb"))
     refined = refine_covers(
         boundary.join(F.broadcast(wkb_dim), id_col),
@@ -467,8 +499,6 @@ def salted_cell_join(
     # silently dropping (or duplicating) join rows. Hash the row content
     # instead (maps are unhashable in Spark and excluded; they never carry
     # the identity anyway).
-    from pyspark.sql import types as T
-
     hashable = [
         f.name for f in points.schema.fields
         if not isinstance(f.dataType, T.MapType)

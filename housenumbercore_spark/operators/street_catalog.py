@@ -58,7 +58,12 @@ def streets_in_areas(
     Both dimension sides broadcast; the only shuffle is the final
     per-(osm_id, area_id) dedup over narrow street rows.
     """
-    from .pip_join import jvm_refine_expr, seg_cover_cells_cols, seg_crossing_expr
+    from .pip_join import (
+        REFINE_COLS,
+        jvm_refine_expr,
+        seg_cover_cells_cols,
+        seg_crossing_expr,
+    )
 
     if res is None:
         res = pick_join_res(areas)
@@ -66,7 +71,7 @@ def streets_in_areas(
     # builds (endpoint join + boundary-only crossing join); without pinning
     # it would execute twice per call. Mechanism per pinning.py.
     dim = pin(cover_cells(areas, res))
-    refine_cols = ["full", "ref_x", "ref_y", "ref_inside", "edges"]
+    refine_cols = list(REFINE_COLS)
 
     pts = streets.withColumn("__cell", C.cell_col("x0", "y0", res))
     dimr = dim.withColumnRenamed("cell", "__dim_cell")
@@ -76,7 +81,7 @@ def streets_in_areas(
         .drop("__dim_cell", "__cell", *refine_cols)
     )
 
-    boundary_dim = dim.filter(~F.col("full"))
+    boundary_dim = dim.filter(~F.col("__pj_full"))
     seg_cells = seg_cover_cells_cols(streets, res)
     cross = (
         seg_cells.join(F.broadcast(boundary_dim), "cell", "inner")

@@ -49,17 +49,22 @@ def drain_to_df(writer_source: DataFrame, output_mode: str = "complete") -> Data
     session (bench/driver sweeps run dozens of these on ONE
     SparkSession)."""
     name = "drain_" + uuid.uuid4().hex[:10]
-    q = (
-        writer_source.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = writer_source.sparkSession
-    out = pin(spark.table(name), truncate=True)
-    spark.catalog.dropTempView(name)
+    try:
+        q = (
+            writer_source.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = pin(spark.table(name), truncate=True)
+    finally:
+        # drop even when the stream or pin raises — a failed drain would
+        # otherwise leak its partial memory-sink rows for the session's
+        # lifetime, the exact leak this function exists to prevent
+        spark.catalog.dropTempView(name)
     return out
 
 
@@ -99,13 +104,17 @@ def run_stream_to_completion(
 
 
 def sessionize(
-    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Session windows per user (built-in session_window — gap-based), the
-    streaming-native sessionization a training-data event pipeline needs."""
+    streaming-native sessionization a training-data event pipeline needs.
+    ``watermark`` bounds late data like windowed_event_counts_stream's."""
     return drain_to_df(
         events_stream(spark, sf_dir)
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

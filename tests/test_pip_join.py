@@ -240,3 +240,46 @@ def test_jvm_strict_contains_excludes_boundary_point(spark):
     )
     assert sorted(r.point_id for r in covers.collect()) == [1, 2]
     assert sorted(r.point_id for r in contains.collect()) == [2]
+
+
+def test_payload_columns_named_like_refine_cols_survive(spark, world):
+    """The refine payload columns are dunder-reserved (__pj_*): a points
+    payload column named 'full' or 'edges' must neither crash the refine
+    filter (AMBIGUOUS_REFERENCE) nor be silently dropped."""
+    pts, areas = world
+    tagged = (
+        pts.withColumn("full", F.lit("payload-full"))
+        .withColumn("edges", F.array(F.lit(1.0)))
+        .withColumn("ref_inside", F.lit(False))
+    )
+    out = PJ.assign_points_to_areas(spark, tagged, areas)
+    assert {"full", "edges", "ref_inside"} <= set(out.columns)
+    row = out.select("full").first()
+    assert row.full == "payload-full"
+    # exact=False path keeps them too (previously drop() clobbered them)
+    loose = PJ.assign_points_to_areas(spark, tagged, areas, exact=False)
+    assert {"full", "edges", "ref_inside"} <= set(loose.columns)
+
+
+def test_cover_cells_bad_geometry_names_area(spark):
+    """A NULL/non-areal dimension geometry fails loudly WITH the area id
+    (a curated-dimension data-model error, not quarantinable payload)."""
+    areas = spark.createDataFrame(
+        [
+            (1, G.polygon_wkb([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0),
+                                (0.0, 1.0), (0.0, 0.0)]]), 0.0, 0.0, 1.0, 1.0),
+            (2, None, 0.0, 0.0, 1.0, 1.0),
+        ],
+        "area_id int, polygon binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    with pytest.raises(Exception, match="area_id=2"):
+        PJ.cover_cells(areas, 4).collect()
+
+
+def test_refine_python_bad_predicate_value_error(spark, world):
+    pts, areas = world
+    with pytest.raises(ValueError, match="unknown predicate"):
+        PJ.assign_points_to_areas(
+            spark, pts, areas, refine="python", predicate="contians"
+        ).collect()
