@@ -86,6 +86,13 @@ def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
 # localCheckpoint, ContextCleaner-freed with the entry). Bounded: one
 # small frame (~55k narrow rows at sf0.1) per sf_dir touched in a session.
 _MATCHED_PIN: dict[tuple[str, str], DataFrame] = {}
+# guards the check-then-pin: concurrent driver threads (checkpoint.py's
+# executor pattern) would otherwise both build the match join, and under
+# the persist pin strategy the overwritten loser's CacheManager entry
+# would leak with no handle left to unpin
+import threading as _threading
+
+_MATCHED_PIN_LOCK = _threading.Lock()
 
 
 def evaluation_matched_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,43 +120,51 @@ def clear_matched_pin() -> None:
     swallowed and the memo entry is dropped regardless."""
     from .pinning import unpin
 
-    for k in list(_MATCHED_PIN):
-        df = _MATCHED_PIN.pop(k)
-        try:
-            unpin(df)
-        except Exception:  # noqa: BLE001 — stopped context
-            pass
+    with _MATCHED_PIN_LOCK:
+        for k in list(_MATCHED_PIN):
+            df = _MATCHED_PIN.pop(k)
+            try:
+                unpin(df)
+            except Exception:  # noqa: BLE001 — stopped context
+                pass
 
 
 def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The match evaluation (J5/J6): one row per housenumber identity."""
+    """The match evaluation (J5/J6): one row per housenumber identity.
+
+    The memo build holds _MATCHED_PIN_LOCK for the (eager) pin, so
+    concurrent threads wait for one build instead of racing two — the pin
+    is an executor-side job, and a double build both wastes the full
+    match join and (under the persist strategy) leaks the loser's cache
+    entry."""
     from .pinning import pin_strategy
 
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
-    pinned = _MATCHED_PIN.get(key)
-    if (
-        pinned is not None
-        and pin_strategy(spark) == "persist"
-        and pinned.storageLevel.useMemory is False
-        and pinned.storageLevel.useDisk is False
-    ):
-        # a spark.catalog.clearCache() between queries (bench.py, session
-        # hygiene under the persist strategy) unpersisted the memoized
-        # frame out from under us — the handle would silently re-execute
-        # the full match join per consumer; rebuild the pin instead
-        del _MATCHED_PIN[key]
-        pinned = None
-    if pinned is None:
-        # drop entries from other applicationIds first: a process that
-        # cycles sessions (scaling.py runs run_bench per parallelism
-        # level) would otherwise accumulate DataFrame handles pinned to
-        # stopped JVM contexts — never hit, but never freed either
-        for k in [k for k in _MATCHED_PIN if k[0] != app]:
-            del _MATCHED_PIN[k]
-        pinned = pin(evaluation_matched_plan(spark, sf_dir))
-        _MATCHED_PIN[key] = pinned
-    return pinned
+    with _MATCHED_PIN_LOCK:
+        pinned = _MATCHED_PIN.get(key)
+        if (
+            pinned is not None
+            and pin_strategy(spark) == "persist"
+            and pinned.storageLevel.useMemory is False
+            and pinned.storageLevel.useDisk is False
+        ):
+            # a spark.catalog.clearCache() between queries (bench.py,
+            # session hygiene under the persist strategy) unpersisted the
+            # memoized frame out from under us — the handle would silently
+            # re-execute the full match join per consumer; rebuild
+            del _MATCHED_PIN[key]
+            pinned = None
+        if pinned is None:
+            # drop entries from other applicationIds first: a process that
+            # cycles sessions (scaling.py runs run_bench per parallelism
+            # level) would otherwise accumulate DataFrame handles pinned
+            # to stopped JVM contexts — never hit, but never freed either
+            for k in [k for k in _MATCHED_PIN if k[0] != app]:
+                del _MATCHED_PIN[k]
+            pinned = pin(evaluation_matched_plan(spark, sf_dir))
+            _MATCHED_PIN[key] = pinned
+        return pinned
 
 
 def evaluation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,22 +31,21 @@ def write_partitioned(
 ) -> None:
     """Write/overwrite a partitioned parquet table. With ``dynamic=True``
     only partitions present in ``df`` are replaced (Iceberg
-    overwritePartitions parity); with False the whole table is replaced."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if dynamic else "static",
+    overwritePartitions parity); with False the whole table is replaced.
+
+    The overwrite mode travels as a PER-WRITE DataFrameWriter option
+    (honored over the session conf since Spark 2.4) — mutating the
+    session-global ``partitionOverwriteMode`` conf here raced concurrent
+    driver threads (checkpoint.py's executor pattern): another writer
+    flipping the shared conf between set and execute could turn a
+    two-partition dynamic overwrite into a whole-table static wipe."""
+    (
+        df.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+        .partitionBy(*partition_cols)
+        .parquet(path)
     )
-    try:
-        (
-            df.repartition(*partition_cols)
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -212,7 +211,34 @@ def merge_upsert_partitioned(
             [pn(left, c).eqNullSafe(pn(right, c)) for c in partition_cols],
         )
 
-    current = spark.read.parquet(path)
+    # refuse to merge over an interrupted commit: a crash between the
+    # trash-move and stage-rename loops below leaves a partition's only
+    # copy under _old_<uuid> (invisible to readers) — building 'current'
+    # from the truncated table would commit the loss permanently. The
+    # leftover dirs are the recovery record; surface them.
+    jvm0, fs0, root0 = _hadoop_fs(spark, path)
+    if fs0.exists(root0):
+        leftovers = [
+            st.getPath().getName()
+            for st in fs0.listStatus(root0)
+            if st.getPath().getName().startswith(("_stage_", "_old_"))
+        ]
+        if leftovers:
+            raise RuntimeError(
+                f"merge_upsert_partitioned: {path} carries interrupted-"
+                f"commit remnants {leftovers} — a previous merge crashed "
+                "mid-swap. Restore the partition dirs from the _old_ dir "
+                "(its contents are the pre-merge copies of the touched "
+                "partitions), or delete the remnants if the table has "
+                "been verified complete, then re-run."
+            )
+    # read with the updates frame's schema: parquet partition-column
+    # INFERENCE would re-type numeric-looking string partition values
+    # ('07' → int 7 → re-rendered '7'), forking one logical partition
+    # into sibling dirs (part=07 alive next to part=7) that later
+    # deletes/moves only half-clean. The merge contract already requires
+    # ``updates`` to match the table's schema, so it is the authority.
+    current = spark.read.schema(updates.schema).parquet(path)
     upd_keys = updates.select(*keys).dropDuplicates()
     del_keys = deletes.select(*keys).dropDuplicates() if deletes is not None else None
     touched = updates.select(*partition_cols).dropDuplicates()

@@ -401,3 +401,72 @@ def test_merge_sink_and_snapshot_merge_agree(spark, tmp_path):
     a = sorted((r.k, r.part, r.v) for r in got_sink.collect())
     b = sorted((r.k, r.part, r.v) for r in got_snap.collect())
     assert a == b, f"sink {a}\nsnap {b}"
+
+
+def test_merge_numeric_looking_string_partition_not_retyped(spark):
+    """Partition-column INFERENCE re-typed string '07' to int 7 on the
+    current-table read, forking one logical partition into part=07 and
+    part=7 sibling dirs. The schema-pinned read keeps '07' a string."""
+    path = tempfile.mkdtemp(prefix="hns_sink_retype_")
+    df = spark.createDataFrame(
+        [("07", 1, "a"), ("07", 2, "b"), ("x", 3, "c")],
+        "part string, rec_id int, payload string",
+    )
+    SK.write_partitioned(df, path, ["part"])
+    upd = spark.createDataFrame(
+        [("07", 2, "b2")], "part string, rec_id int, payload string"
+    )
+    SK.merge_upsert_partitioned(spark, path, upd, ["rec_id"], ["part"])
+    dirs = {d for d in os.listdir(path) if d.startswith("part=")}
+    assert dirs == {"part=07", "part=x"}, dirs
+    got = {
+        (r.part, r.rec_id): r.payload
+        for r in spark.read.schema(df.schema).parquet(path).collect()
+    }
+    assert got == {("07", 1): "a", ("07", 2): "b2", ("x", 3): "c"}
+    # and deleting the whole partition clears the ONE dir
+    SK.merge_upsert_partitioned(
+        spark, path,
+        spark.createDataFrame([], df.schema),
+        ["rec_id"], ["part"],
+        deletes=spark.createDataFrame([("07", 1), ("07", 2)],
+                                      "part string, rec_id int"),
+    )
+    dirs = {d for d in os.listdir(path) if d.startswith("part=")}
+    assert dirs == {"part=x"}, dirs
+
+
+def test_merge_refuses_interrupted_commit_remnants(spark):
+    """Leftover _stage_/_old_ dirs mean a previous merge crashed mid-swap
+    with a partition's only copy in the trash dir; merging on top would
+    commit the loss. The merge must refuse loudly instead."""
+    import pytest
+
+    path = tempfile.mkdtemp(prefix="hns_sink_remnant_")
+    df = _jobs_df(spark, [0, 1], "v1")
+    SK.write_partitioned(df, path, ["job_id"])
+    os.makedirs(os.path.join(path, "_old_deadbeef/job_id=0"))
+    upd = spark.createDataFrame(
+        [(0, 1, "new")], "job_id int, rec_id int, payload string"
+    )
+    with pytest.raises(RuntimeError, match="_old_deadbeef"):
+        SK.merge_upsert_partitioned(spark, path, upd, ["rec_id"], ["job_id"])
+
+
+def test_write_partitioned_leaves_session_conf_alone(spark):
+    """The overwrite mode travels as a per-write option: the session-
+    global partitionOverwriteMode conf is never mutated (mutating it
+    raced concurrent driver threads)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    try:
+        path = tempfile.mkdtemp(prefix="hns_sink_conf_")
+        SK.write_partitioned(_jobs_df(spark, [0, 1], "v1"), path, ["job_id"])
+        before = _files_per_partition(path)
+        # dynamic semantics hold even with the session conf at static
+        SK.write_partitioned(_jobs_df(spark, [1], "v2"), path, ["job_id"])
+        after = _files_per_partition(path)
+        assert after["job_id=0"] == before["job_id=0"]
+        assert spark.conf.get(key) == "static"
+    finally:
+        spark.conf.unset(key)
