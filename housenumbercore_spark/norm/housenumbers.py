@@ -57,25 +57,35 @@ def split_multi(hnr: Column | str) -> Column:
     )
 
 
+# widest range a '2-8'-style housenumber may expand to before it is
+# treated as a parse failure: no real street numbers this far, and an
+# unbounded expansion lets one garbage row ('1-2000000001') abort the
+# job on Spark's sequence length limit. Mirrored in oracles.hnr_explode_sql.
+RANGE_EXPAND_CAP = 20_000
+
+
 def expand_range(hnr: Column | str) -> Column:
     """One housenumber text → array of expanded values (possibly empty).
 
     "2-8" → ['2','4','6','8']; "8-2" → []; "2-8a" → [] (parse failure);
-    "13a" → ['13a'].
+    "13a" → ['13a']. Bounds that overflow int (an ANSI-mode plain cast
+    would abort the whole job on one pasted phone number) or spans beyond
+    RANGE_EXPAND_CAP are parse failures → [].
     """
     hnr = F.col(hnr) if isinstance(hnr, str) else hnr
     has_dash = hnr.contains("-")
     start_s = F.trim(F.substring_index(hnr, "-", 1))
     end_s = F.trim(F.substring_index(hnr, "-", -1))
     is_int = lambda c: c.rlike(r"^[0-9]+$")  # noqa: E731
-    start_i = start_s.cast("int")
-    end_i = end_s.cast("int")
+    start_i = start_s.try_cast("int")
+    end_i = end_s.try_cast("int")
     valid = (
         has_dash
         & (F.length(hnr) - F.length(F.regexp_replace(hnr, "-", "")) == 1)
         & is_int(start_s)
         & is_int(end_s)
-        & (end_i > start_i)
+        & (end_i > start_i)  # NULL (overflowed try_cast) compares false
+        & (end_i - start_i <= RANGE_EXPAND_CAP)
     )
     return (
         F.when(~has_dash, F.array(hnr))

@@ -66,12 +66,15 @@ def title_case_street(
 ) -> Column:
     """StreetToUpperLower parity (CsvReader.java:157-189).
 
-    Only runs of uppercase letters are rewritten; per-word exception lists
+    Only runs of uppercase letters are rewritten; per-run exception lists
     force all-lower (particles) or all-upper ("II"). The reference
-    regex-replaces uppercase RUNS in place, so hyphen/period-joined tokens
-    ('VITTORIO-EMANUELE', 'S.MARIA') are rewritten run-by-run here: each
-    space token is sub-split at [-./,] separators (kept as their own
-    sub-tokens and rejoined verbatim) before the run test.
+    regex-replaces uppercase RUNS in place ANYWHERE in the string —
+     'VITTORIO-EMANUELE' and 'S.MARIA' rewrite run-by-run, and so do runs
+    embedded in mixed tokens: 'McDONALD' → 'McDonald', "O'BRIEN" →
+    "O'Brien", 'LIBERTÀ' → 'LibertÀ' (À is outside the run class, exactly
+    like the reference regex). Implemented by wrapping every maximal run
+    with sentinels, splitting, and folding only the run segments — the
+    non-run text between them passes through verbatim.
 
     ``country_code``: the exception lists originate from the reference's
     Italy CSV importer; pass the import's country column and the lists are
@@ -115,13 +118,11 @@ def title_case_street(
             .otherwise(tok)
         )
 
-    def fix_token(tok: Column) -> Column:
-        # sub-split at separators with a sentinel so runs inside joined
-        # tokens are rewritten individually; separators rejoin verbatim
-        subs = F.split(F.regexp_replace(tok, r"([-./,])", "\x01$1\x01"), "\x01")
-        return F.array_join(F.transform(subs, fix_run), "")
-
-    return F.array_join(F.transform(F.split(name, " "), fix_token), " ")
+    # wrap every maximal uppercase run with sentinels and split: segments
+    # alternate between runs (folded by fix_run) and text with no
+    # uppercase-class characters at all (passed through verbatim)
+    wrapped = F.regexp_replace(name, rf"({_UPPER_RUN})", "\x01$1\x01")
+    return F.array_join(F.transform(F.split(wrapped, "\x01"), fix_run), "")
 
 
 def normalize_ags(ags: Column | str) -> Column:
@@ -175,29 +176,46 @@ def boundary_name_variants(name: Column | str) -> Column:
 
 # hstore text ⇄ map helpers (reference parser: de/zalando/typemapper/postgres/
 # HStore.java:1-371; serialization HousenumberList.java:404-413)
-def hstore_to_map(col: Column | str) -> Column:
-    """Parse '"k"=>"v", ...' hstore text into a MapType column.
+# one escape-aware pair pattern, shared by keys/values extraction: a
+# quoted token is ((?:[^"\]|\.)*) — any run of non-quote-non-backslash
+# chars or backslash-escapes — so an escaped quote OR an escaped
+# backslash at the END of a value (the lookbehind approach misread
+# \\" as an escaped quote) never terminates the token; values may also
+# be the unquoted literal NULL (postgres hstore_out, HStore.java:217-219)
+_HSTORE_PAIR = r'"((?:[^"\\]|\\.)*)"\s*=>\s*(?:NULL|"((?:[^"\\]|\\.)*)")'
 
-    Escape-aware like the reference parser (HStore.java): the structural
-    quotes are matched with a negative lookbehind so a backslash-escaped
-    quote INSIDE a value never splits a pair, and the backslash escapes
-    (\\" and \\\\) are unescaped after the split."""
+
+def hstore_to_map(col: Column | str) -> Column:
+    """Parse '"k"=>"v", "n"=>NULL, ...' hstore text into a MapType column.
+
+    Escape-aware like the reference parser (HStore.java): tokens are
+    matched with a full escape grammar (not a single-char lookbehind, which
+    misparsed values ending in an escaped backslash), unquoted ``NULL``
+    values parse to map-value NULL, and the backslash escapes (\\" and
+    \\\\) are unescaped after extraction."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(c, r'(?<!\\)"\s*=>\s*"', "\x02")
-    cleaned = F.regexp_replace(cleaned, r'(?<!\\)"\s*,\s*"', "\x01")
-    cleaned = F.regexp_replace(cleaned, r'(^\s*")|((?<!\\)"\s*$)', "")
-    m = F.str_to_map(cleaned, F.lit("\x01"), F.lit("\x02"))
     unescape = lambda s: F.regexp_replace(s, r"\\(.)", "$1")  # noqa: E731
-    return F.map_from_arrays(
-        F.transform(F.map_keys(m), unescape),
-        F.transform(F.map_values(m), unescape),
+    keys = F.transform(
+        F.regexp_extract_all(c, F.lit(_HSTORE_PAIR), F.lit(1)), unescape
     )
+    # full matches keep the NULL-vs-empty-string distinction that a
+    # group-2 extraction loses (a non-participating group extracts '')
+    vals = F.transform(
+        F.regexp_extract_all(c, F.lit(_HSTORE_PAIR), F.lit(0)),
+        lambda m: F.when(m.rlike(r"=>\s*NULL$"), F.lit(None)).otherwise(
+            unescape(F.regexp_extract(m, _HSTORE_PAIR, 2))
+        ),
+    )
+    return F.map_from_arrays(keys, vals)
 
 
 def map_to_hstore(col: Column | str) -> Column:
     """Serialize a MapType to hstore text, escaping backslashes and quotes
     (HousenumberList.java:404-413 writes through the same codec) so that
-    hstore_to_map(map_to_hstore(m)) round-trips any value."""
+    hstore_to_map(map_to_hstore(m)) round-trips any value — including
+    NULL values, which serialize unquoted ('"k"=>NULL', hstore_out's
+    format) instead of silently vanishing from the output (concat of a
+    NULL value nulled the whole entry and array_join dropped it)."""
     c = F.col(col) if isinstance(col, str) else col
 
     def esc(s: Column) -> Column:
@@ -208,7 +226,11 @@ def map_to_hstore(col: Column | str) -> Column:
     entries = F.transform(
         F.map_entries(c),
         lambda e: F.concat(
-            F.lit('"'), esc(e["key"]), F.lit('"=>"'), esc(e["value"]), F.lit('"')
+            F.lit('"'),
+            esc(e["key"]),
+            F.when(e["value"].isNull(), F.lit('"=>NULL')).otherwise(
+                F.concat(F.lit('"=>"'), esc(e["value"]), F.lit('"'))
+            ),
         ),
     )
     return F.array_join(entries, ", ")

@@ -132,7 +132,9 @@ def hnr_explode_sql() -> str:
     valid = (
         f"length(part) - length(replace(part, '-', '')) = 1 "
         f"AND regexp_matches({a}, '^[0-9]+$') AND regexp_matches({b}, '^[0-9]+$') "
-        f"AND TRY_CAST({b} AS INT) > TRY_CAST({a} AS INT)"
+        f"AND TRY_CAST({b} AS INT) > TRY_CAST({a} AS INT) "
+        # span cap in lockstep with norm.housenumbers.RANGE_EXPAND_CAP
+        f"AND TRY_CAST({b} AS INT) - TRY_CAST({a} AS INT) <= 20000"
     )
     expand = (
         f"CASE WHEN NOT contains(part, '-') THEN [part] "

@@ -1078,11 +1078,10 @@ def title_case_streets_sql() -> str:
 
     low = ", ".join(f"'{w}'" for w in LOWERCASE_PARTICLES)
     up = ", ".join(f"'{w}'" for w in UPPERCASE_WORDS)
-    # exception lists gate on the token being an uppercase run, mirroring
-    # norm/names.title_case_street (and the reference, which consults the
-    # lists only for matched uppercase runs); each space token is sub-split
-    # at [-./,] separators so joined runs rewrite individually, in lockstep
-    # with the engine
+    # run-in-place folding in lockstep with norm/names.title_case_street
+    # (and the reference regex, which replaces uppercase runs ANYWHERE in
+    # the string): wrap every maximal run with sentinels, split, fold only
+    # run segments; the exception lists consult the run itself
     run = f"regexp_matches(u, '^{_UPPER_RUN}$')"
     fix = (
         f"CASE WHEN {run} AND lower(u) IN ({low}) THEN lower(u) "
@@ -1090,9 +1089,10 @@ def title_case_streets_sql() -> str:
         f"WHEN {run} "
         f"THEN substr(u, 1, 1) || lower(substr(u, 2)) ELSE u END"
     )
-    tok = (
+    titled = (
         "array_to_string(list_transform(string_split("
-        "regexp_replace(t, '([-./,])', chr(1) || '\\1' || chr(1), 'g'), "
+        f"regexp_replace(raw_name, '({_UPPER_RUN})', "
+        "chr(1) || '\\1' || chr(1), 'g'), "
         f"chr(1)), u -> {fix}), '')"
     )
     raw = (
@@ -1104,9 +1104,7 @@ def title_case_streets_sql() -> str:
     )
     return f"""
 WITH d AS (SELECT p_partkey AS rec_id, {raw} AS raw_name FROM part)
-SELECT rec_id, raw_name,
-  array_to_string(list_transform(string_split(raw_name, ' '), t -> {tok}), ' ')
-    AS titled
+SELECT rec_id, raw_name, {titled} AS titled
 FROM d"""
 
 

@@ -129,10 +129,54 @@ def read_header(spark: SparkSession, path: str, params: CsvImportParams) -> tupl
     import csv as _csv
     import io
 
-    first = strip_bom(spark.read.text(path).limit(1).collect()[0][0])
+    first = strip_bom(_first_line(spark, path, params.encoding))
+    # a '#'-prefixed header line is a comment marker the reference strips
+    # before analysing (CsvReader.analyseHeaderline); positions are
+    # unchanged, only the first header name loses the marker
+    if first.startswith("#"):
+        first = first[1:]
     sep = params.separator or sniff_separator(first)
     fields = next(_csv.reader(io.StringIO(first), delimiter=sep, quotechar='"'))
     return sep, [h.strip() for h in fields]
+
+
+def _first_line(spark: SparkSession, path: str, encoding: str) -> str:
+    """First line of the first file matching ``path``, decoded with the
+    import's encoding. ``spark.read.text`` always decodes UTF-8 — it
+    honored ``params.encoding`` for the data rows but fed the header
+    inference mojibake on Latin-1/UTF-16 files (a 'Straße' header then
+    matched no variant and the street column silently went NULL)."""
+    from .sinks import _hadoop_fs
+
+    jvm, fs, jpath = _hadoop_fs(spark, path)
+    sts = fs.globStatus(jpath)
+    files = []
+    for st in sts or []:
+        if st.isFile():
+            files.append(st.getPath())
+        elif st.isDirectory():
+            for sub in fs.listStatus(st.getPath()):
+                if sub.isFile() and not sub.getPath().getName().startswith(
+                    ("_", ".")
+                ):
+                    files.append(sub.getPath())
+    if not files:
+        raise FileNotFoundError(f"read_header: no files match {path}")
+    files.sort(key=lambda p: p.toString())
+    stream = fs.open(files[0])
+    try:
+        # bounded JVM-side copy (one py4j call): 64 KiB is orders of
+        # magnitude beyond any real header line, and per-byte py4j reads
+        # are unusably slow (same rationale as snapshots._read_text)
+        bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+            stream, 65536
+        )
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(bounded, baos, 8192, False)
+    finally:
+        stream.close()
+    text = bytes(baos.toByteArray()).decode(encoding, errors="replace")
+    return text.splitlines()[0] if text else ""
 
 
 def read_csv_addresses(
@@ -161,13 +205,25 @@ def read_csv_addresses(
     cols = raw.columns  # spark's view of the header (post-BOM handling)
 
     def col_at(i: int):
-        return F.col(f"`{cols[i]}`") if i < len(cols) else F.lit(None)
+        if i >= len(cols):
+            return F.lit(None)
+        # identifier-quote the header name with backticks DOUBLED — a
+        # header containing a backtick otherwise fails identifier parsing
+        # for every column reference
+        return F.col("`" + cols[i].replace("`", "``") + "`")
 
     out = []
     for logical in LOGICAL_FIELDS:
         if logical in ("lon", "lat"):
+            # decimal-comma normalization (CsvReader.java:506 replaces
+            # ',' before parsing — the standard German format) and
+            # try_cast: under Spark 4's default ANSI mode a plain cast
+            # aborts the whole import on one junk coordinate cell, where
+            # the reference logs a warning and unsets the coordinate
             c = (
-                col_at(mapping[logical]).cast("double")
+                F.regexp_replace(
+                    col_at(mapping[logical]).cast("string"), ",", "."
+                ).try_cast("double")
                 if logical in mapping
                 else F.lit(None).cast("double")
             )
@@ -176,15 +232,20 @@ def read_csv_addresses(
         out.append(c.alias(logical))
     if tags:
         pairs = []
-        seen: dict[str, int] = {}
+        used: set[str] = set()
         for i, tag in sorted(tags.items()):
             # duplicate unmatched header names must get distinct map keys:
             # Spark's default mapKeyDedupPolicy=EXCEPTION fails the whole
             # read on the first duplicated key otherwise (real-world CSV
-            # lists do repeat header names)
-            n = seen.get(tag, 0)
-            seen[tag] = n + 1
-            pairs.extend([F.lit(tag if n == 0 else f"{tag}_{n + 1}"), col_at(i)])
+            # lists do repeat header names). Collision-aware against the
+            # FULL name set — a real header literally named 'note_2' next
+            # to two 'note' columns must not recreate the duplicate
+            name, n = tag, 1
+            while name in used:
+                n += 1
+                name = f"{tag}_{n}"
+            used.add(name)
+            pairs.extend([F.lit(name), col_at(i)])
         extes = F.map_filter(F.create_map(*pairs), lambda k, v: v.isNotNull())
     else:
         extes = F.lit(None).cast("map<string,string>")

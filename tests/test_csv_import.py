@@ -127,3 +127,63 @@ def test_duplicate_unmatched_headers_get_distinct_tag_keys(spark, tmp_path):
     assert row.street == "Hauptweg" and row.housenumber == "5"
     assert row.extraosmtags["note"] == "erste"
     assert row.extraosmtags["note_2"] == "zweite"
+
+
+def test_decimal_comma_coordinates_and_junk(spark, tmp_path):
+    """Reference parity (CsvReader.java:506): German decimal-comma
+    coordinates parse; junk unsets the coordinate instead of aborting the
+    import under ANSI mode."""
+    p = tmp_path / "coords.csv"
+    p.write_bytes(
+        "strasse;hausnummer;lon;lat\nA;1;9,12345;50,5\nB;2;junk;50.1\n"
+        "C;3;9.5;50.2\n".encode()
+    )
+    rows = {r.street: r for r in CI.read_csv_addresses(spark, str(p)).collect()}
+    assert abs(rows["A"].lon - 9.12345) < 1e-9
+    assert abs(rows["A"].lat - 50.5) < 1e-9
+    assert rows["B"].lon is None and abs(rows["B"].lat - 50.1) < 1e-9
+    assert abs(rows["C"].lon - 9.5) < 1e-9
+
+
+def test_latin1_header_decodes_with_params_encoding(spark, tmp_path):
+    """The header peek honors params.encoding (spark.read.text always
+    decoded UTF-8, so a Latin-1 'Straße' header went mojibake and the
+    street column silently NULLed)."""
+    p = tmp_path / "latin1.csv"
+    p.write_bytes(
+        "Straße;Hausnummer\nHauptstraße;1\n".encode("iso-8859-1")
+    )
+    df = CI.read_csv_addresses(
+        spark, str(p), CI.CsvImportParams(encoding="ISO-8859-1")
+    )
+    rows = df.collect()
+    assert [r.street for r in rows] == ["Hauptstraße"]
+
+
+def test_hash_comment_header_marker_stripped(spark, tmp_path):
+    """Reference strips a leading '#' before analysing the header line."""
+    p = tmp_path / "hash.csv"
+    p.write_bytes("#strasse;hausnummer\nMarktplatz;1\n".encode())
+    rows = CI.read_csv_addresses(spark, str(p)).collect()
+    assert [r.street for r in rows] == ["Marktplatz"]
+    assert rows[0].housenumber == "1"
+
+
+def test_real_header_collides_with_rename_scheme(spark, tmp_path):
+    """['note','note','note_2'] headers must produce three DISTINCT map
+    keys (the old scheme produced note_2 twice -> DUPLICATED_MAP_KEY)."""
+    p = tmp_path / "dups.csv"
+    p.write_bytes(
+        "strasse;hausnummer;note;note;note_2\nA;1;x;y;z\n".encode()
+    )
+    rows = CI.read_csv_addresses(spark, str(p)).collect()
+    tags = rows[0].extraosmtags
+    assert len(tags) == 3 and set(tags.values()) == {"x", "y", "z"}
+
+
+def test_backtick_in_header_name(spark, tmp_path):
+    p = tmp_path / "tick.csv"
+    p.write_bytes("strasse;hausnummer;price`EUR\nA;1;9\n".encode())
+    rows = CI.read_csv_addresses(spark, str(p)).collect()
+    assert rows[0].street == "A"
+    assert rows[0].extraosmtags == {"price`EUR": "9"}

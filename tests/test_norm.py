@@ -171,9 +171,9 @@ class TestTitleCaseRuns:
         }
         # German list: 'IN' is NOT folded by the Italian particle list
         assert got["DE"] == "In Der Au"
-        # ('LIBERTÀ' stays: À is outside _UPPER_CLASS, so it is not an
-        # uppercase run — same as the driver oracle's behavior)
-        assert got["IT"] == "Via della LIBERTÀ"
+        # run-in-place parity (CsvReader.java regex): the run 'LIBERT'
+        # folds even though À (outside the run class) follows it
+        assert got["IT"] == "Via della LibertÀ"
 
 
 class TestHstoreEscaping:
@@ -197,3 +197,64 @@ class TestHstoreEscaping:
         )
         out = df.select(NM.hstore_to_map("h").alias("m")).collect()[0].m
         assert out == {"note": 'a", "b', "k": "v"}
+
+
+class TestRunInPlaceTitleCase:
+    def test_runs_inside_mixed_tokens_fold(self, spark):
+        """Reference parity (CsvReader.java StreetToUpperLower regex):
+        uppercase runs fold ANYWHERE in a token, not only whole tokens."""
+        from housenumbercore_spark.norm import names as NM
+
+        df = spark.createDataFrame(
+            [("McDONALD",), ("O'BRIEN",), ("VIA DELLA LIBERTÀ",)],
+            "raw string",
+        )
+        got = [r.t for r in
+               df.select(NM.title_case_street("raw").alias("t")).collect()]
+        assert got == ["McDonald", "O'Brien", "Via della LibertÀ"]
+
+
+class TestHstoreEdges:
+    def test_value_ending_in_backslash_roundtrips(self, spark):
+        from housenumbercore_spark.norm import names as NM
+
+        df = spark.createDataFrame(
+            [({"a": "x\\", "b": "y"},)], "m map<string,string>"
+        )
+        out = df.select(
+            NM.hstore_to_map(NM.map_to_hstore("m")).alias("rt")
+        ).collect()[0].rt
+        assert out == {"a": "x\\", "b": "y"}
+
+    def test_null_values_parse_and_serialize(self, spark):
+        from housenumbercore_spark.norm import names as NM
+
+        df = spark.createDataFrame([('"a"=>NULL, "b"=>"x"',)], "h string")
+        out = df.select(NM.hstore_to_map("h").alias("m")).collect()[0].m
+        assert out == {"a": None, "b": "x"}
+        df2 = spark.createDataFrame(
+            [({"n": None, "k": "v"},)], "m map<string,string>"
+        )
+        s = df2.select(NM.map_to_hstore("m").alias("s")).collect()[0].s
+        assert '"n"=>NULL' in s and '"k"=>"v"' in s
+        rt = df2.select(
+            NM.hstore_to_map(NM.map_to_hstore("m")).alias("rt")
+        ).collect()[0].rt
+        assert rt == {"n": None, "k": "v"}
+
+
+class TestRangeExpandGuards:
+    def test_overflow_bound_is_parse_failure_not_crash(self, spark):
+        """ANSI-mode plain cast aborted the job on '1-99999999999'; the
+        try_cast treats the overflow as a parse failure -> []."""
+        from housenumbercore_spark.norm import housenumbers as HN
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("1-99999999999",), ("1-200000001",), ("2-8",)], "hnr string"
+        )
+        got = {r.hnr: r.e for r in
+               df.select("hnr", HN.expand_range("hnr").alias("e")).collect()}
+        assert got["1-99999999999"] == []
+        assert got["1-200000001"] == []  # span beyond RANGE_EXPAND_CAP
+        assert got["2-8"] == ["2", "4", "6", "8"]
