@@ -18,8 +18,12 @@ mismatch.
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
+import os
+import shutil
 import sys
+import tempfile
 import time
 
 import duckdb
@@ -82,6 +86,14 @@ def main() -> int:
         .appName("gate_sim")
         .getOrCreate()
     )
+    # the 'reliable' pin strategy (pinning.py) refuses to run without a
+    # durable checkpoint dir; give the simulator session a throwaway one so
+    # cross-strategy sweeps (HNC_PIN_STRATEGY=reliable python tools/
+    # gate_sim.py ...) exercise the real durable-checkpoint path
+    if os.environ.get("HNC_PIN_STRATEGY") == "reliable":
+        ckpt = tempfile.mkdtemp(prefix="gate_sim_ckpt_")
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+        spark.sparkContext.setCheckpointDir(ckpt)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
