@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import pytest
 
@@ -13,3 +14,23 @@ def spark():
 
     s = get_spark(app_name="hns-tests", cores=4, shuffle_partitions=8)
     yield s
+
+
+@contextmanager
+def forced_pin_strategy(spark, value: str):
+    """Force the pin strategy via session conf for a plan-shape assertion
+    (conf outranks the HNC_PIN_STRATEGY env in pinning.pin_strategy), then
+    restore whatever was set before — so plan tests that assert one
+    strategy's physical shape stay green when the suite runs under
+    another strategy's env."""
+    from housenumbercore_spark.pinning import CONF_KEY
+
+    prev = spark.conf.get(CONF_KEY, None)
+    spark.conf.set(CONF_KEY, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(CONF_KEY)
+        else:
+            spark.conf.set(CONF_KEY, prev)

@@ -118,12 +118,21 @@ def test_corpus_enrichment_is_map_only(spark):
 def test_token_budget_sampling_shuffles_no_text(spark):
     """sample_to_token_budget: the only exchanges carry the narrow
     per-group totals (group agg), and the totals join is a broadcast —
-    document text never shuffles."""
+    document text never shuffles. Asserts the DEFAULT (localCheckpoint)
+    strategy's plan shape, so the strategy is forced for the assertion:
+    under persist the pinned totals render as an InMemoryRelation subtree
+    whose internal exchange changes the count without changing what
+    actually shuffles."""
+    from conftest import forced_pin_strategy
+
     from housenumbercore_spark import pipelines as P
     from housenumbercore_spark.text import corpus as C
 
-    samp = C.sample_to_token_budget(P.documents_df(spark, SF), 10_000, by="lang")
-    plan = samp._jdf.queryExecution().executedPlan().toString()
+    with forced_pin_strategy(spark, "local"):
+        samp = C.sample_to_token_budget(
+            P.documents_df(spark, SF), 10_000, by="lang"
+        )
+        plan = samp._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange") <= 2, plan

@@ -525,9 +525,11 @@ def test_dedup_clusters_random_graphs_vs_duckdb(spark, seed):
 
 def test_prepare_corpus_materialized_once_and_keep_cols(spark):
     """The report's eager counts must not leave re-execution for the
-    caller: the returned kept_docs is a localCheckpoint scan (LogicalRDD),
-    so materializing it re-runs NOTHING of the MinHash/cluster lineage.
-    keep_cols threads extra input columns through the narrow enrichment."""
+    caller: the returned kept_docs is a materialized scan (LogicalRDD
+    under the default localCheckpoint strategy, InMemoryRelation under
+    persist), so materializing it re-runs NOTHING of the MinHash/cluster
+    lineage. keep_cols threads extra input columns through the narrow
+    enrichment."""
     from housenumbercore_spark import pipelines as P
     from housenumbercore_spark.text import corpus as C
 
@@ -537,7 +539,13 @@ def test_prepare_corpus_materialized_once_and_keep_cols(spark):
         jaccard_threshold=0.5, keep_cols=("source",),
     )
     plan = kept._jdf.queryExecution().optimizedPlan().toString()
-    assert "LogicalRDD" in plan, f"kept not checkpointed:\n{plan[:500]}"
+    # materialized-scan marker per strategy: LogicalRDD (localCheckpoint,
+    # the default) or InMemoryRelation (the persist strategy) — the claim
+    # under test is "no re-executable MinHash/cluster lineage", which both
+    # satisfy
+    assert "LogicalRDD" in plan or "InMemoryRelation" in plan, (
+        f"kept not materialized:\n{plan[:500]}"
+    )
     assert kept.columns == ["doc_id", "text", "quality", "pred_lang", "source"]
     # passthrough column carries the input's values
     joined = kept.select("doc_id", "source").join(
