@@ -13,6 +13,18 @@ def spark():
     from housenumbercore_spark.session import get_spark
 
     s = get_spark(app_name="hns-tests", cores=4, shuffle_partitions=8)
+    # the 'reliable' pin strategy refuses to run without a durable
+    # checkpoint dir (pinning.py); provision a throwaway one so the suite
+    # can run under HNC_PIN_STRATEGY=reliable for cross-strategy sweeps
+    if os.environ.get("HNC_PIN_STRATEGY") == "reliable":
+        import shutil
+        import tempfile
+
+        ckpt = tempfile.mkdtemp(prefix="hns_tests_ckpt_")
+        s.sparkContext.setCheckpointDir(ckpt)
+        yield s
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return
     yield s
 
 
