@@ -59,6 +59,42 @@ HEADLINE = [
 ]
 
 
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def host_calibration(cpus: str) -> dict:
+    """Raw-CPU speed of the box at measurement time (no Spark).
+
+    This sandbox VM's absolute speed drifts ~2× between sessions (measured
+    2026-08-19: the identical scaling.py --child 32 flagship run took
+    5.40 s vs the 2.87 s recorded days earlier, with zero code change).
+    Recording the host's pure-python spin throughput — single worker and
+    all-cores via multiprocessing — inside every BENCH_r{N}.json makes
+    cross-round comparisons interpretable: divide query seconds by the
+    calibration ratio before reading a delta as a plan regression.
+    """
+    import multiprocessing as mp
+
+    n = 10_000_000
+    t0 = time.perf_counter()
+    _spin(n)
+    single = n / (time.perf_counter() - t0) / 1e6
+    workers = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    with mp.Pool(workers) as pool:
+        t0 = time.perf_counter()
+        pool.map(_spin, [n] * workers)
+        par = workers * n / (time.perf_counter() - t0) / 1e6
+    return {
+        "host_spin_mops_single": round(single, 1),
+        "host_spin_mops_parallel": round(par, 1),
+        "host_spin_workers": workers,
+    }
+
+
 def run_bench(sf_dir: str, cpus: str) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     # bench runs on the sandbox host: give the single local-mode JVM the big
@@ -187,6 +223,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # calibrate the bare host BEFORE the JVM exists, so the number is the
+    # box itself, not the box minus a running Spark session
+    calibration = host_calibration(cpus)
     result = run_bench(sf_dir, cpus)
+    result.update(calibration)
     print(json.dumps(result))
     sys.stdout.flush()
