@@ -149,3 +149,28 @@ def test_ivf_index_is_map_only(spark):
     plan = V.ivf_index(emb)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0, plan
     assert "Join" not in plan, plan
+
+
+def test_keep_min_row_agg_combines_map_side(spark):
+    """The agg strategy's whole point is the map-side partial combine:
+    duplicate groups collapse BEFORE the shuffle, so |groups| narrow rows
+    cross the wire instead of every candidate row. Assert the physical
+    shape: a partial_min aggregate strictly below the single Exchange —
+    a regression to final-only aggregation (or a second shuffle) would
+    re-ship the full duplication at the 10^12-row shape."""
+    from housenumbercore_spark.operators.argmin import keep_min_row
+
+    df = spark.range(1000).selectExpr(
+        "id % 10 as g", "id as o", "id * 2 as payload"
+    )
+    out = keep_min_row(df, ["g"], ["o"], strategy="agg")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    pre_exchange = plan.split("Exchange", 1)[1]
+    assert "partial_min(struct(o," in pre_exchange, plan
+    # and the window strategy is the one that must NOT pay an extra
+    # aggregate pass: one Exchange + one Window, no partial aggregate
+    win = keep_min_row(df, ["g"], ["o"], strategy="window")
+    wplan = win._jdf.queryExecution().executedPlan().toString()
+    assert wplan.count("Exchange") == 1, wplan
+    assert "partial_min" not in wplan, wplan
