@@ -81,27 +81,32 @@ def _replicated_docs(spark):
     the scan stage; a replica-unique suffix on EVERY word guarantees no
     k-shingle is shared across replicas, so LSH candidates (and verified
     pairs) scale exactly linearly with REP_DOCS.
+
+    The base table MUST be repartitioned BEFORE the replicating
+    transform: documents.parquet is one file → one scan task, and a
+    broadcast crossJoin is map-side, so without the early exchange the
+    whole REP × |docs| word-rewrite ran as a single task (measured: the
+    first ~42 s of every iteration at 1-2 busy threads out of 8 — a
+    harness serial phase that polluted the 2→8 efficiency reading).
     """
     from pyspark.sql import functions as F
 
-    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text", "lang"
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .repartition(PARTITIONS)
     )
     rep = spark.range(REP_DOCS).select(F.col("id").cast("string").alias("r"))
-    return (
-        base.crossJoin(F.broadcast(rep))
-        .select(
-            F.concat_ws("#", "doc_id", "r").alias("doc_id"),
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda w: F.concat(w, F.lit("·"), F.col("r")),
-                ),
-                " ",
-            ).alias("text"),
-            "lang",
-        )
-        .repartition(PARTITIONS)
+    return base.crossJoin(F.broadcast(rep)).select(
+        F.concat_ws("#", "doc_id", "r").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("·"), F.col("r")),
+            ),
+            " ",
+        ).alias("text"),
+        "lang",
     )
 
 
@@ -119,16 +124,19 @@ def _knn_job(spark):
     from housenumbercore_spark.sources import streets as ST
     from housenumbercore_spark.sources import synthetic as S
 
-    pts = S.points_df(spark, SF_DIR).select("point_id", "lon", "lat")
-    rep = spark.range(REP_PTS).select(F.col("id").alias("r"))
-    big = (
-        pts.crossJoin(F.broadcast(rep))
-        .select(
-            (F.col("point_id") * REP_PTS + F.col("r")).alias("point_id"),
-            (F.col("lon") + (F.col("r") - REP_PTS / 2) * 1e-7).alias("lon"),
-            F.col("lat"),
-        )
+    # same early-exchange rule as _replicated_docs: replicate AFTER the
+    # repartition so the REP-fold row inflation runs across PARTITIONS
+    # tasks instead of the base table's file count
+    pts = (
+        S.points_df(spark, SF_DIR)
+        .select("point_id", "lon", "lat")
         .repartition(PARTITIONS)
+    )
+    rep = spark.range(REP_PTS).select(F.col("id").alias("r"))
+    big = pts.crossJoin(F.broadcast(rep)).select(
+        (F.col("point_id") * REP_PTS + F.col("r")).alias("point_id"),
+        (F.col("lon") + (F.col("r") - REP_PTS / 2) * 1e-7).alias("lon"),
+        F.col("lat"),
     )
     targets = ST.street_points_df(spark, SF_DIR)
     return KN.knn_nearest_multires(
@@ -221,7 +229,9 @@ def parent(jobs: list[str]) -> None:
                     best[k] = r
 
     # merge best-known minima for the identical workload (host noise only
-    # ever slows runs down — per-level minima converge on true capability)
+    # ever slows runs down — per-level minima converge on true capability);
+    # rows for jobs/configs NOT exercised this invocation are kept as-is so
+    # a single-job rerun never drops the other family's evidence
     for r in state:
         k = (r["job"], r["cpus"])
         rep = REP_DOCS if r["job"] == "minhash" else REP_PTS
@@ -230,7 +240,9 @@ def parent(jobs: list[str]) -> None:
             and r.get("rep") == rep
             and r.get("partitions") == PARTITIONS
         )
-        if same and k in best and r["seconds"] < best[k]["seconds"]:
+        if k not in best:
+            best[k] = r
+        elif same and r["seconds"] < best[k]["seconds"]:
             best[k] = r
     with open(state_path, "w") as f:
         json.dump(list(best.values()), f)
