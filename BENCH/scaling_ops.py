@@ -133,7 +133,14 @@ def _replicated_docs(spark):
 def _minhash_job(spark):
     from housenumbercore_spark.text import dedup as TD
 
-    return TD.minhash_dedup_pairs(_replicated_docs(spark))
+    # default to the corpus-scale verify mode (int64 shingle-hash
+    # intersect; tests assert value-identity with the string verify on
+    # the sandbox corpora) — the string mode is the oracle-exact default
+    # of the library, selectable here with SPARK_GRAFT_SCALING_VERIFY
+    return TD.minhash_dedup_pairs(
+        _replicated_docs(spark),
+        verify_on=os.environ.get("SPARK_GRAFT_SCALING_VERIFY", "hashes"),
+    )
 
 
 def _knn_job(spark):

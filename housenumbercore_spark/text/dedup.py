@@ -196,7 +196,10 @@ def lsh_candidate_pairs_salted(
 
 
 def minhash_dedup_pairs(
-    docs: DataFrame, k: int = 2, min_sig_agree: int = 8
+    docs: DataFrame,
+    k: int = 2,
+    min_sig_agree: int = 8,
+    verify_on: str = "shingles",
 ) -> DataFrame:
     """MinHash LSH candidates → signature-estimate prefilter → exact
     shingle-Jaccard verify.
@@ -207,7 +210,17 @@ def minhash_dedup_pairs(
     10¹²-doc shape the verify join is the only place document-sized
     payloads move, and one hot LSH bucket must not drag every shingle set
     of its members across the wire. A shared band already guarantees
-    MINHASH_ROWS agreeing components, so the bar only bites above that."""
+    MINHASH_ROWS agreeing components, so the bar only bites above that.
+
+    ``verify_on="hashes"`` intersects the deduplicated 31-bit shingle
+    HASHES instead of the shingle strings: the pinned corpus frame and
+    both verify-join sides then carry one int64 per shingle instead of a
+    k-word string (~5-10× smaller at k=2 English text), which is the
+    right trade at corpus scale — the Jaccard differs only when two
+    distinct shingles of the same doc pair collide in 31 bits
+    (P ≈ n²/2³¹ per doc at n shingles/doc; tests assert exact equality
+    on the sandbox corpora). Default stays ``"shingles"`` because the
+    DuckDB oracles compute string-set Jaccard."""
     # pin the corpus-derived frames: the shingle frame feeds the signature
     # aggregate AND two differently-keyed verify joins, and sigs feeds
     # THREE consumers (bands, a-side, b-side) — without the pins the
@@ -218,8 +231,21 @@ def minhash_dedup_pairs(
     # previously sh and sigs each re-ran it — measured 6.3 s → see bench).
     # Pin mechanism (localCheckpoint vs persist vs reliable checkpoint) is
     # the deployment's choice — see pinning.py.
-    wsh = pin(with_shingle_hashes(docs, k))
-    sh = wsh.select("doc_id", "shingles")
+    if verify_on == "hashes":
+        # drop the shingle strings BEFORE the pin: the materialized frame
+        # holds (doc_id, int64[]) only. array_distinct guards the (rare)
+        # in-doc 31-bit collision so |sa|+|sb|-|sa∩sb| stays a true union.
+        wsh = pin(
+            with_shingle_hashes(docs, k).select(
+                "doc_id", F.array_distinct("sh31").alias("sh31")
+            )
+        )
+        sh = wsh.select("doc_id", F.col("sh31").alias("shset"))
+    elif verify_on == "shingles":
+        wsh = pin(with_shingle_hashes(docs, k))
+        sh = wsh.select("doc_id", F.col("shingles").alias("shset"))
+    else:
+        raise ValueError(f"verify_on must be 'shingles' or 'hashes', got {verify_on!r}")
     sigs = pin(minhash_signatures(docs, k, shingled=wsh))
     pairs = lsh_candidate_pairs(minhash_bands(sigs))
     siga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
@@ -235,8 +261,8 @@ def minhash_dedup_pairs(
         .filter(F.col("__agree") >= min_sig_agree)
         .select("doc_a", "doc_b")
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     return (

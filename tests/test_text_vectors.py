@@ -83,6 +83,26 @@ def test_minhash_pairs_nonempty_and_verified(spark):
     assert (df.jaccard >= 0).all() and (df.jaccard <= 1).all()
 
 
+def test_minhash_hash_verify_matches_string_verify(spark):
+    """verify_on='hashes' (int64 shingle-hash intersect — the corpus-scale
+    mode whose pinned frame carries no shingle strings) must produce the
+    identical (doc_a, doc_b, jaccard) set as the default string verify on
+    the sandbox corpora at BOTH test scales (no 31-bit collisions there;
+    candidate generation is shared, so any drift is a verify-path bug)."""
+    from housenumbercore_spark import pipelines as P
+    from housenumbercore_spark.text import dedup as D
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        docs = P.documents_df(spark, sf).select("doc_id", "text")
+        want = sorted(
+            map(tuple, D.minhash_dedup_pairs(docs).collect())
+        )
+        got = sorted(
+            map(tuple, D.minhash_dedup_pairs(docs, verify_on="hashes").collect())
+        )
+        assert got == want, f"hash-verify drift at {sf}"
+
+
 def test_ann_recall_bounds(spark):
     import __spark_entry__ as E
 
