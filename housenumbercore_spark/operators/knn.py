@@ -258,8 +258,9 @@ def knn_nearest_multires(
     # alone does not prove every point was answered. The count executes
     # the repartition's shuffle map stage once; the ring-join jobs reuse
     # those shuffle files (same RDD lineage), so this is one narrow pass,
-    # not a second scan.
-    n_remaining = remaining.count()
+    # not a second scan. A single-res ladder never collapses (the only
+    # round is the unconditional fallback), so it skips the count job.
+    n_remaining = remaining.count() if len(res_list) > 1 else 0
     out: DataFrame | None = None
     for i, res in enumerate(res_list):
         last = i == len(res_list) - 1

@@ -85,7 +85,7 @@ def osm_best_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
 # immutable driver testdata; the pin strategy is pinning.py's (default
 # localCheckpoint, ContextCleaner-freed with the entry). Bounded: one
 # small frame (~55k narrow rows at sf0.1) per sf_dir touched in a session.
-_MATCHED_PIN: dict[tuple[str, str], DataFrame] = {}
+_MATCHED_PIN: dict[tuple[str, str], tuple[DataFrame, str]] = {}
 # guards the check-then-pin: concurrent driver threads (checkpoint.py's
 # executor pattern) would otherwise both build the match join, and under
 # the persist pin strategy the overwritten loser's CacheManager entry
@@ -122,7 +122,7 @@ def clear_matched_pin() -> None:
 
     with _MATCHED_PIN_LOCK:
         for k in list(_MATCHED_PIN):
-            df = _MATCHED_PIN.pop(k)
+            df, _ = _MATCHED_PIN.pop(k)
             try:
                 unpin(df)
             except Exception:  # noqa: BLE001 — stopped context
@@ -142,29 +142,38 @@ def evaluation_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     with _MATCHED_PIN_LOCK:
-        pinned = _MATCHED_PIN.get(key)
+        entry = _MATCHED_PIN.get(key)
         if (
-            pinned is not None
-            and pin_strategy(spark) == "persist"
-            and pinned.storageLevel.useMemory is False
-            and pinned.storageLevel.useDisk is False
+            entry is not None
+            # staleness is a property of how the frame WAS pinned, not of
+            # the session's CURRENT strategy: a frame pinned under
+            # ``persist`` stays clearCache-evictable even after the conf
+            # switches to another strategy (the per-call seam pinning.py
+            # documents), so gating on the live strategy would return the
+            # silently-unpinned handle
+            and entry[1] == "persist"
+            and entry[0].storageLevel.useMemory is False
+            and entry[0].storageLevel.useDisk is False
         ):
             # a spark.catalog.clearCache() between queries (bench.py,
             # session hygiene under the persist strategy) unpersisted the
             # memoized frame out from under us — the handle would silently
             # re-execute the full match join per consumer; rebuild
             del _MATCHED_PIN[key]
-            pinned = None
-        if pinned is None:
+            entry = None
+        if entry is None:
             # drop entries from other applicationIds first: a process that
             # cycles sessions (scaling.py runs run_bench per parallelism
             # level) would otherwise accumulate DataFrame handles pinned
             # to stopped JVM contexts — never hit, but never freed either
             for k in [k for k in _MATCHED_PIN if k[0] != app]:
                 del _MATCHED_PIN[k]
-            pinned = pin(evaluation_matched_plan(spark, sf_dir))
-            _MATCHED_PIN[key] = pinned
-        return pinned
+            entry = (
+                pin(evaluation_matched_plan(spark, sf_dir)),
+                pin_strategy(spark),
+            )
+            _MATCHED_PIN[key] = entry
+        return entry[0]
 
 
 def evaluation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,6 +92,26 @@ def _fs_leaf_partition_dirs(fs, base, depth: int) -> list[list[str]]:
     return out
 
 
+def _fs_first_data_file(fs, base) -> str | None:
+    """Full path string of the first parquet data file under ``base``
+    (depth-first through real partition dirs, skipping ``_``/``.``
+    metadata paths), or None for an empty table. One footer is enough to
+    validate the writer contract because this sink is the table's only
+    writer and always writes a uniform schema."""
+    stack = [base]
+    while stack:
+        p = stack.pop()
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            elif name.endswith(".parquet"):
+                return st.getPath().toString()
+    return None
+
+
 def _fs_find_partition_dir(fs, base, values: tuple) -> list[str] | None:
     """Name-components of the partition dir under ``base`` whose DECODED
     values equal ``values`` (robust to Hive percent-escaping and the NULL
@@ -237,7 +257,41 @@ def merge_upsert_partitioned(
     # ('07' → int 7 → re-rendered '7'), forking one logical partition
     # into sibling dirs (part=07 alive next to part=7) that later
     # deletes/moves only half-clean. The merge contract already requires
-    # ``updates`` to match the table's schema, so it is the authority.
+    # ``updates`` to match the table's schema, so it is the authority —
+    # but a forced schema resolves by NAME and silently NULLs/drops
+    # drifted columns, so the contract is VERIFIED first against one
+    # data-file footer (driver-side metadata read; partition columns
+    # live in dir names, not footers, so only data columns compare).
+    if fs0.exists(root0):
+        probe = _fs_first_data_file(fs0, root0)
+        if probe is not None:
+            on_disk = {
+                f.name: f.dataType
+                for f in spark.read.parquet(probe).schema.fields
+            }
+            expected = {
+                f.name: f.dataType
+                for f in updates.schema.fields
+                if f.name not in partition_cols
+            }
+            if on_disk != expected:
+                missing = sorted(set(on_disk) - set(expected))
+                extra = sorted(set(expected) - set(on_disk))
+                retyped = sorted(
+                    c
+                    for c in set(on_disk) & set(expected)
+                    if on_disk[c] != expected[c]
+                )
+                raise ValueError(
+                    f"merge_upsert_partitioned: updates schema drifts from "
+                    f"the table at {path} — missing from updates: {missing}, "
+                    f"absent on disk: {extra}, re-typed: "
+                    f"{[(c, str(on_disk[c]), str(expected[c])) for c in retyped]}. "
+                    "A forced-schema read would silently NULL or drop these "
+                    "columns in every rewritten partition; align the updates "
+                    "frame with the table schema (or migrate the table) "
+                    "before merging."
+                )
     current = spark.read.schema(updates.schema).parquet(path)
     upd_keys = updates.select(*keys).dropDuplicates()
     del_keys = deletes.select(*keys).dropDuplicates() if deletes is not None else None
