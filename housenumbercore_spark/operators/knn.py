@@ -235,11 +235,15 @@ def knn_nearest_multires(
     between a 10⁶-candidate round and a 10¹⁴-row cross join at the 10¹²
     target shape.
 
-    Materialization contract: one pin job per non-final round — the
-    round's ranked+flag rows are pinned with lineage truncated
+    Materialization contract: one materializing job per non-final round —
+    the round's ranked+flag rows are pinned LAZILY with lineage truncated
     (pinning.py, truncate=True: retained lineage would stack one
-    ring-join plan per round), the accepted subset and the next round's
-    anti-join both read those stored blocks, and the blocks are freed by
+    ring-join plan per round), and the round's sure-count is always the
+    first action on the pinned frame, so that single count job executes
+    the ring join AND stores the blocks at once (an eager pin would run a
+    separate materialization job per round just to count right after —
+    measured ~10% of the sf0.1 ladder). The accepted subset and the next
+    round's anti-join then read the stored blocks, which are freed by
     RDD GC when the returned plan drops its references. No explicit cache pinning (round 1's cache+anti-join
     structure pinned |points|×k rows per round for the whole job). After
     each checkpoint a narrow count over the stored flag blocks decides
@@ -277,6 +281,7 @@ def knn_nearest_multires(
                 # check is a plain projection, no window
                 flags = pin(
                     ranked.withColumn("__sure", F.col("dist_m") < g),
+                    eager=False,
                     truncate=True,
                 )
                 drop_cols = ["__sure"]
@@ -289,6 +294,7 @@ def knn_nearest_multires(
                         "__sure",
                         (F.col("__cnt") == n_neighbors) & (F.col("__worst") < g),
                     ),
+                    eager=False,
                     truncate=True,
                 )
                 drop_cols = ["__worst", "__cnt", "__sure"]
