@@ -470,3 +470,49 @@ def test_write_partitioned_leaves_session_conf_alone(spark):
         assert spark.conf.get(key) == "static"
     finally:
         spark.conf.unset(key)
+
+
+def test_merge_refuses_drifted_updates_schema(spark):
+    """The pre-merge footer probe must fail loudly on schema drift: a
+    forced-schema read resolves columns by NAME, so a missing / re-typed
+    data column would otherwise be silently NULLed (or dropped) in every
+    rewritten partition."""
+    import pytest
+
+    path = tempfile.mkdtemp(prefix="hns_drift_")
+    SK.write_partitioned(_jobs_df(spark, [0, 1], "v1"), path, ["job_id"])
+
+    # (a) updates missing the payload column
+    missing = spark.createDataFrame([(1, 0)], "job_id int, rec_id int")
+    with pytest.raises(ValueError, match="payload"):
+        SK.merge_upsert_partitioned(
+            spark, path, missing, ["job_id", "rec_id"], ["job_id"]
+        )
+
+    # (b) re-typed data column (payload string -> int)
+    retyped = spark.createDataFrame(
+        [(1, 0, 7)], "job_id int, rec_id int, payload int"
+    )
+    with pytest.raises(ValueError, match="re-typed"):
+        SK.merge_upsert_partitioned(
+            spark, path, retyped, ["job_id", "rec_id"], ["job_id"]
+        )
+
+    # (c) extra column absent on disk
+    extra = spark.createDataFrame(
+        [(1, 0, "x", True)],
+        "job_id int, rec_id int, payload string, flag boolean",
+    )
+    with pytest.raises(ValueError, match="flag"):
+        SK.merge_upsert_partitioned(
+            spark, path, extra, ["job_id", "rec_id"], ["job_id"]
+        )
+
+    # table untouched by the refused merges; a conforming merge still lands
+    assert spark.read.parquet(path).count() == 10
+    ok = spark.createDataFrame(
+        [(1, 0, "v2-upd")], "job_id int, rec_id int, payload string"
+    )
+    SK.merge_upsert_partitioned(spark, path, ok, ["job_id", "rec_id"], ["job_id"])
+    got = {(r.job_id, r.rec_id): r.payload for r in spark.read.parquet(path).collect()}
+    assert got[(1, 0)] == "v2-upd"
