@@ -219,3 +219,69 @@ def test_multires_round_collapse_keeps_empty_ring_points(spark):
         only_isolated, targets, res_list=[13, 10, 8], k_ring=1
     ).collect()
     assert len(out2) == 1 and out2[0].street_key == 7
+
+
+def test_multires_matches_brute_force_on_random_worlds(spark):
+    """Randomized exactness: the multires ladder (ring pruning + guarantee
+    bound + escalation + round collapse) must reproduce the brute-force
+    cross-join answer EXACTLY on arbitrary point/target scatters. The
+    brute force uses the engine's own distance expression, so only the
+    ladder logic is under test — any pruning bug (a guarantee bound that
+    is not a true lower bound, a dropped escalation) shows as a changed
+    nearest neighbor."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from housenumbercore_spark.geo.distance import distance_m_col
+    from housenumbercore_spark.operators import knn as KN
+
+    rng = np.random.RandomState(20260820)
+    for round_i in range(4):
+        n_pts, n_tgt = 60, 12
+        # wide scatter incl. high latitudes; last res 2 (90-degree cells,
+        # ring-1 spans 270 degrees) ring-covers this box from any point
+        lon = rng.uniform(-60, 60, n_pts + n_tgt)
+        lat = rng.uniform(-55, 65, n_pts + n_tgt)
+        # one coincident point/target pair to exercise dist_m == 0
+        lon[0], lat[0] = lon[n_pts], lat[n_pts]
+        pts = spark.createDataFrame(
+            [(i, float(lon[i]), float(lat[i])) for i in range(n_pts)],
+            "point_id long, lon double, lat double",
+        )
+        targets = spark.createDataFrame(
+            [
+                (j, f"t{j}", float(lon[n_pts + j]), float(lat[n_pts + j]))
+                for j in range(n_tgt)
+            ],
+            "street_key long, name string, slon double, slat double",
+        )
+        n = 1 if round_i % 2 == 0 else 2
+        got = {
+            (r.point_id, r.knn_rank): (r.street_key, round(r.dist_m, 6))
+            for r in KN.knn_nearest_multires(
+                pts, targets, res_list=[12, 7, 2], k_ring=1, n_neighbors=n
+            ).collect()
+        }
+        brute = (
+            pts.crossJoin(targets)
+            .withColumn(
+                "dist_m",
+                distance_m_col(
+                    F.col("lon"), F.col("lat"), F.col("slon"), F.col("slat")
+                ),
+            )
+            .withColumn(
+                "knn_rank",
+                F.row_number().over(
+                    W.partitionBy("point_id").orderBy(
+                        F.col("dist_m").asc(), F.col("street_key").asc()
+                    )
+                ),
+            )
+            .filter(F.col("knn_rank") <= n)
+        )
+        want = {
+            (r.point_id, r.knn_rank): (r.street_key, round(r.dist_m, 6))
+            for r in brute.collect()
+        }
+        assert got == want, f"round {round_i}: multires != brute force"
